@@ -1,0 +1,409 @@
+"""Builtin registry — the full user-facing API surface
+(reference core/env.c:120-270; Appendix C of SURVEY.md).
+"""
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+
+from . import types as T
+from . import symbols, fmt
+from .obj import (Obj, NULL_OBJ, list_, sym, string, str_of, i64 as mk_i64,
+                  date as mk_date, time_ as mk_time, timestamp as mk_ts)
+from .interp import (Interp, Env, FN_ATOMIC, FN_AGGR, FN_SPECIAL,
+                     FN_RIGHT_ATOMIC, _Return, collect_lazy)
+from .parser import parse
+from .errors import RayError, err_type, err_value
+
+from ..ops import math as m
+from ..ops import vops, items, compose, logic, cast, sort, misc, iter as it
+from ..ops import query as q
+
+
+def _cmp(op):
+    return lambda a, b: vops.compare(op, a, b)
+
+
+def build_env(interp_holder: dict) -> Env:
+    env = Env()
+    U, B, V = T.UNARY, T.BINARY, T.VARY
+
+    def interp():
+        return interp_holder["interp"]
+
+    # ---- special forms ------------------------------------------------
+    def sf_quote(ip, a):
+        if a.t == -T.SYMBOL:
+            return sym(int(a.v))
+        return a
+
+    def sf_set(ip, target, vexpr):
+        v = collect_lazy(ip.eval(vexpr))
+        if target.t == -T.SYMBOL:
+            ip.amend(int(target.v), v)
+            return v
+        # (set "path" x) persists to disk (binary.c:52-315)
+        tv = ip.eval(target)
+        if tv.t == T.C8:
+            from ..storage import binary as stor
+            stor.set_path(str_of(tv), v)
+            return v
+        raise err_type("set target must be a symbol or path")
+
+    def sf_let(ip, target, vexpr):
+        v = collect_lazy(ip.eval(vexpr))
+        if target.t != -T.SYMBOL:
+            raise err_type("let target must be a symbol")
+        ip.let(int(target.v), v)
+        return v
+
+    def sf_do(ip, args):
+        r = NULL_OBJ
+        for a in args:
+            r = ip.eval(a)
+        return r
+
+    def sf_if(ip, args):
+        if len(args) < 2:
+            raise RayError("arity", "if needs 2 or 3 args")
+        c = collect_lazy(ip.eval(args[0]))
+        truthy = c.t == -T.B8 and bool(int(c.v))
+        if c.t != -T.B8:
+            raise err_type("if condition must be boolean")
+        if truthy:
+            return ip.eval(args[1])
+        if len(args) >= 3:
+            return ip.eval(args[2])
+        return NULL_OBJ
+
+    def sf_try(ip, body, handler):
+        try:
+            return collect_lazy(ip.eval(body))
+        except _Return:
+            raise
+        except RayError as e:
+            h = ip.eval(handler)
+            err_obj = Obj(-T.ERR, e)
+            if h.t == T.LAMBDA:
+                return ip.call_lambda(h.v, [err_obj])
+            return h
+
+    def sf_timeit(ip, args):
+        t0 = _time.perf_counter()
+        r = NULL_OBJ
+        for a in args:
+            r = ip.eval(a)
+        ms = (_time.perf_counter() - t0) * 1000.0
+        return Obj(-T.F64, np.float64(ms))
+
+    def fn_raise(o):
+        if o.t == T.C8:
+            raise RayError("user", str_of(o))
+        if o.t == -T.ERR:
+            raise o.v
+        raise RayError("user", fmt.format_obj(o, 0, None, 0))
+
+    def fn_return(args):
+        raise _Return(args[0] if args else NULL_OBJ)
+
+    def fn_eval(o):
+        if o.t == T.C8:
+            return interp().eval_str(str_of(o))
+        return interp().eval(o)
+
+    def fn_parse(o):
+        return parse(str_of(o), env)
+
+    def fn_load(o):
+        path = str_of(o)
+        with open(path) as f:
+            src = f.read()
+        return interp().eval_str(src)
+
+    def fn_resolve(o):
+        if o.t != -T.SYMBOL:
+            raise err_type("resolve needs a symbol")
+        v = interp().resolve(int(o.v))
+        return v if v is not None else NULL_OBJ
+
+    def fn_get(o):
+        if o.t == -T.SYMBOL:
+            v = interp().resolve(int(o.v))
+            if v is None:
+                raise err_value("not found")
+            return v
+        if o.t == T.C8:
+            from ..storage import binary as stor
+            return stor.get_path(str_of(o))
+        raise err_type("get needs symbol or path")
+
+    def fn_exit(args):
+        code = int(args[0].v) if args else 0
+        raise SystemExit(code)
+
+    def fn_filter(f, xs):
+        ip = interp()
+        from ..ops.iter import _call
+        from ..ops.compose import gather
+        if xs.t < 0:
+            raise err_type("filter needs a sequence")
+        keep = []
+        from .obj import at_idx
+        for i in range(len(xs)):
+            r = _call(ip, f, [at_idx(xs, i)])
+            if r.t == -T.B8 and int(r.v):
+                keep.append(i)
+        return gather(xs, np.asarray(keep, dtype=np.int64))
+
+    # ---- iterator wrappers (need interp) ------------------------------
+    def v_map(args):
+        if len(args) < 2:
+            raise RayError("arity", "map")
+        return it.ray_map(interp(), args[0], list(args[1:]))
+
+    def v_pmap(args):
+        if len(args) < 2:
+            raise RayError("arity", "pmap")
+        return it.ray_map(interp(), args[0], list(args[1:]))
+
+    def v_map_left(args):
+        if len(args) != 3:
+            raise RayError("arity", "map-left")
+        return it.ray_map_left(interp(), args[0], args[1], args[2])
+
+    def v_map_right(args):
+        if len(args) != 3:
+            raise RayError("arity", "map-right")
+        return it.ray_map_right(interp(), args[0], args[1], args[2])
+
+    def v_fold(args):
+        return it.ray_fold(interp(), args[0], list(args[1:]))
+
+    def v_fold_right(args):
+        return it.ray_fold_right(interp(), args[0], list(args[1:]))
+
+    def v_scan(args):
+        return it.ray_scan(interp(), args[0], list(args[1:]))
+
+    def v_scan_right(args):
+        return it.ray_scan_right(interp(), args[0], list(args[1:]))
+
+    def v_apply(args):
+        return it.ray_apply(interp(), args[0], list(args[1:]))
+
+    # ---- query wrappers -----------------------------------------------
+    def sf_select(ip, a):
+        return q.ray_select(ip, a)
+
+    def sf_update(ip, a):
+        return q.ray_update(ip, a)
+
+    # ---- temporal now/cast --------------------------------------------
+    def fn_date(o):
+        if o.t == -T.NULL:
+            return mk_date(int(_time.time() // 86400))
+        return cast.cast_obj(T.DATE, o)
+
+    def fn_time(o):
+        if o.t == -T.NULL:
+            t = _time.time()
+            return mk_time(int((t % 86400) * 1000))
+        return cast.cast_obj(T.TIME, o)
+
+    def fn_timestamp(o):
+        if o.t == -T.NULL:
+            return mk_ts(int(_time.time() * 1e9))
+        return cast.cast_obj(T.TIMESTAMP, o)
+
+    # ---- registration -------------------------------------------------
+    R = env.register
+    # unary
+    R("get", U, fn_get)
+    R("quote", U, sf_quote, FN_SPECIAL)
+    R("raise", U, fn_raise)
+    R("parse", U, fn_parse)
+    R("eval", U, fn_eval)
+    R("load", U, fn_load)
+    R("type", U, misc.ray_type)
+    R("til", U, compose.ray_til)
+    R("reverse", U, compose.ray_reverse)
+    R("distinct", U, compose.ray_distinct)
+    R("group", U, compose.ray_group)
+    R("sum", U, m.ray_sum, FN_ATOMIC | FN_AGGR)
+    R("avg", U, m.ray_avg, FN_ATOMIC | FN_AGGR)
+    R("med", U, m.ray_med, FN_ATOMIC | FN_AGGR)
+    R("dev", U, m.ray_dev, FN_ATOMIC | FN_AGGR)
+    R("min", U, m.ray_min, FN_ATOMIC | FN_AGGR)
+    R("max", U, m.ray_max, FN_ATOMIC | FN_AGGR)
+    R("round", U, m.ray_round, FN_ATOMIC)
+    R("floor", U, m.ray_floor, FN_ATOMIC)
+    R("ceil", U, m.ray_ceil, FN_ATOMIC)
+    R("first", U, items.ray_first, FN_AGGR)
+    R("last", U, items.ray_last, FN_AGGR)
+    R("count", U, items.ray_count, FN_AGGR)
+    R("not", U, logic.ray_not, FN_ATOMIC)
+    R("iasc", U, sort.ray_iasc)
+    R("idesc", U, sort.ray_idesc)
+    R("rank", U, sort.ray_rank)
+    R("asc", U, sort.ray_asc)
+    R("desc", U, sort.ray_desc)
+    R("guid", U, compose.ray_guid, FN_ATOMIC)
+    R("neg", U, m.ray_neg, FN_ATOMIC)
+    R("where", U, items.ray_where, FN_ATOMIC)
+    R("key", U, items.ray_key)
+    R("value", U, items.ray_value)
+    R("hclose", U, _stub_unary("hclose"))
+    R("rc", U, misc.ray_rc)
+    R("select", U, sf_select, FN_SPECIAL)
+    R("update", U, sf_update, FN_SPECIAL)
+    R("date", U, fn_date)
+    R("time", U, fn_time)
+    R("timestamp", U, fn_timestamp)
+    R("nil?", U, logic.ray_is_null)
+    R("resolve", U, fn_resolve)
+    R("show", U, misc.ray_show)
+    R("meta", U, misc.ray_meta)
+    R("system", U, _stub_unary("system"))
+    R("os-get-var", U, _fn_os_get)
+    R("unify", U, compose.ray_unify)
+    R("raze", U, compose.ray_raze)
+    R("diverse", U, compose.ray_diverse)
+    R("row", U, _stub_unary("row"), FN_AGGR)
+    R("ser", U, _fn_ser)
+    R("de", U, _fn_de)
+    # binary
+    R("try", B, sf_try, FN_SPECIAL)
+    R("set", B, sf_set, FN_SPECIAL)
+    R("let", B, sf_let, FN_SPECIAL)
+    R("at", B, items.ray_at, FN_RIGHT_ATOMIC)
+    R("==", B, _cmp("eq"), FN_ATOMIC)
+    R("!=", B, _cmp("ne"), FN_ATOMIC)
+    R("<", B, _cmp("lt"), FN_ATOMIC)
+    R(">", B, _cmp("gt"), FN_ATOMIC)
+    R("<=", B, _cmp("le"), FN_ATOMIC)
+    R(">=", B, _cmp("ge"), FN_ATOMIC)
+    R("+", B, m.ray_add, FN_ATOMIC)
+    R("-", B, m.ray_sub, FN_ATOMIC)
+    R("*", B, m.ray_mul, FN_ATOMIC)
+    R("%", B, m.ray_mod, FN_ATOMIC)
+    R("/", B, m.ray_div, FN_ATOMIC)
+    R("div", B, m.ray_fdiv, FN_ATOMIC)
+    R("like", B, logic.ray_like)
+    R("dict", B, compose.ray_dict)
+    R("table", B, compose.ray_table)
+    R("find", B, items.ray_find)
+    R("concat", B, compose.ray_concat)
+    R("remove", B, compose.ray_remove)
+    R("filter", B, fn_filter)
+    R("take", B, items.ray_take)
+    R("in", B, items.ray_in)
+    R("within", B, items.ray_within)
+    R("sect", B, items.ray_sect, FN_ATOMIC)
+    R("except", B, items.ray_except)
+    R("union", B, items.ray_union)
+    R("rand", B, compose.ray_rand, FN_ATOMIC)
+    R("as", B, cast.ray_cast)
+    R("xasc", B, sort.ray_xasc)
+    R("xdesc", B, sort.ray_xdesc)
+    R("xrank", B, sort.ray_xrank)
+    R("enum", B, compose.ray_enum)
+    R("xbar", B, m.ray_xbar, FN_ATOMIC)
+    R("os-set-var", B, _fn_os_set, FN_ATOMIC)
+    R("split", B, compose.ray_split)
+    R("bin", B, items.ray_bin)
+    R("binr", B, items.ray_binr)
+    # vary
+    R("do", V, sf_do, FN_SPECIAL)
+    R("and", V, logic.ray_and, FN_SPECIAL)
+    R("or", V, logic.ray_or, FN_SPECIAL)
+    R("env", V, _fn_env(interp_holder))
+    R("timeit", V, sf_timeit, FN_SPECIAL)
+    R("memstat", V, misc.ray_memstat)
+    R("gc", V, lambda args: NULL_OBJ)
+    R("list", V, compose.ray_list)
+    R("enlist", V, compose.ray_enlist)
+    R("format", V, misc.ray_format)
+    R("print", V, misc.ray_print)
+    R("println", V, misc.ray_println)
+    R("apply", V, v_apply)
+    R("map", V, v_map)
+    R("pmap", V, v_pmap)
+    R("map-left", V, v_map_left)
+    R("map-right", V, v_map_right)
+    R("fold", V, v_fold)
+    R("fold-left", V, v_fold)
+    R("fold-right", V, v_fold_right)
+    R("scan", V, v_scan)
+    R("scan-left", V, v_scan)
+    R("scan-right", V, v_scan_right)
+    R("args", V, _fn_args(interp_holder))
+    R("if", V, sf_if, FN_SPECIAL)
+    R("return", V, fn_return)
+    R("exit", V, fn_exit)
+    R("sysinfo", V, misc.ray_sysinfo)
+    R("internals", V, lambda args: NULL_OBJ)
+    R("set-fpr", U, misc.ray_set_fpr)
+    return env
+
+
+def _stub_unary(name):
+    def f(o):
+        raise RayError("nyi", f"{name} not yet implemented")
+    return f
+
+
+def _fn_os_get(o):
+    import os
+    v = os.environ.get(str_of(o))
+    return string(v) if v is not None else NULL_OBJ
+
+
+def _fn_os_set(k, v):
+    import os
+    os.environ[str_of(k)] = str_of(v)
+    return NULL_OBJ
+
+
+def _fn_ser(o):
+    from ..storage import serde
+    return serde.ser_obj(o)
+
+
+def _fn_de(o):
+    from ..storage import serde
+    return serde.de_obj(o)
+
+
+def _fn_env(holder):
+    def f(args):
+        ip = holder["interp"]
+        from .obj import dict_
+        ids = np.asarray(sorted(ip.globals.keys()), dtype=np.int64)
+        vals = list_([ip.globals[int(i)] for i in ids])
+        return dict_(Obj(T.SYMBOL, ids), vals)
+    return f
+
+
+def _fn_args(holder):
+    def f(args):
+        ip = holder["interp"]
+        return list_([string(a) for a in getattr(ip, "cli_args", [])])
+    return f
+
+
+class Runtime:
+    """Process-wide engine (reference core/runtime.c runtime_create)."""
+
+    def __init__(self, cli_args=None):
+        holder: dict = {}
+        self.env = build_env(holder)
+        self.interp = Interp(self.env)
+        holder["interp"] = self.interp
+        self.interp.cli_args = cli_args or []
+
+    def eval_str(self, src: str) -> Obj:
+        return self.interp.eval_str(src)
+
+    def format_result(self, o: Obj) -> str:
+        return fmt.format_top(o)

@@ -1,0 +1,146 @@
+"""Grouped aggregation over a GroupIndex (reference core/aggr.c).
+
+Per-group disciplines pinned against the oracle / reference Appendix-A
+notes: sum/avg/med/dev skip nulls; min/max skip nulls; count counts all
+rows; first/last take the group's first/last row value; collect returns the
+per-group value vectors.
+
+Host path: stable argsort by group id + reduceat. Device path (engine):
+jax.ops.segment_* kernels — same group-id contract.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import types as T
+from ..core.obj import Obj, to_np, list_
+from ..core.errors import err_type
+from .group import GroupIndex
+from .math import SUM_TYPE
+from .vops import is_null_np
+
+
+def _sorted_layout(index: GroupIndex):
+    order = np.argsort(index.gids, kind="stable")
+    sorted_gids = index.gids[order]
+    bounds = np.searchsorted(sorted_gids, np.arange(index.n + 1))
+    return order, bounds
+
+
+def grouped_aggregate(name: str, col: Obj, index: GroupIndex) -> Obj:
+    if col.t == T.MAPFILTER:
+        from .filter import filter_collect
+        col = filter_collect(col.v[0], col.v[1])
+    t = col.t
+    if t == T.ENUM and name in ("first", "last", "count", "collect", "row"):
+        pass
+    gids = index.gids
+    n = index.n
+
+    if name == "count":
+        cnt = np.bincount(gids, minlength=n).astype(np.int64)
+        return Obj(T.I64, cnt)
+
+    if name == "first":
+        from .compose import gather
+        return gather(col, index.first_ids)
+
+    if name == "last":
+        from .compose import gather
+        last_ids = np.full(n, -1, dtype=np.int64)
+        np.maximum.at(last_ids, gids, np.arange(len(gids), dtype=np.int64))
+        return gather(col, last_ids)
+
+    a = to_np(col)
+    if t == T.ENUM or t == T.SYMBOL:
+        if name in ("min", "max", "sum", "avg", "med", "dev"):
+            raise err_type(f"{name} on symbols")
+    nulls = is_null_np(t, a)
+
+    if name == "sum":
+        if t not in SUM_TYPE:
+            raise err_type("sum on non-numeric")
+        rt = SUM_TYPE[t]
+        if t == T.F64:
+            vals = np.where(nulls, 0.0, a)
+            out = np.bincount(gids, weights=vals, minlength=n)
+            return Obj(T.F64, out)
+        vals = np.where(nulls, 0, a).astype(np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        np.add.at(out, gids, vals)
+        return Obj(rt, out.astype(T.DTYPE[rt]))
+
+    if name == "avg":
+        if t not in SUM_TYPE:
+            raise err_type("avg on non-numeric")
+        vals = np.where(nulls, 0.0, a.astype(np.float64))
+        s = np.bincount(gids, weights=vals, minlength=n)
+        c = np.bincount(gids, weights=(~nulls).astype(np.float64),
+                        minlength=n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = s / c
+        out = np.where(c == 0, T.NULL_F64, out)
+        return Obj(T.F64, out)
+
+    if name in ("min", "max"):
+        rt = t
+        if t == T.F64:
+            init = np.inf if name == "min" else -np.inf
+            vals = np.where(nulls, init, a)
+            out = np.full(n, init, dtype=np.float64)
+            (np.minimum if name == "min" else np.maximum).at(out, gids, vals)
+            cnt = np.bincount(gids, weights=(~nulls).astype(np.float64),
+                              minlength=n)
+            out = np.where(cnt == 0, T.NULL_F64, out)
+            return Obj(T.F64, out)
+        info_dt = T.DTYPE[t if t not in (T.DATE, T.TIME, T.TIMESTAMP)
+                          else {T.DATE: T.I32, T.TIME: T.I32,
+                                T.TIMESTAMP: T.I64}[t]]
+        init = np.iinfo(info_dt).max if name == "min" \
+            else np.iinfo(info_dt).min
+        vals = np.where(nulls, init, a.astype(np.int64))
+        out = np.full(n, init, dtype=np.int64)
+        (np.minimum if name == "min" else np.maximum).at(out, gids, vals)
+        cnt = np.bincount(gids, weights=(~nulls).astype(np.float64),
+                          minlength=n)
+        nullv = T.NULL_BY_TYPE.get(t, T.NULL_I64)
+        out = np.where(cnt == 0, np.int64(nullv), out)
+        return Obj(rt, out.astype(T.DTYPE[rt]))
+
+    if name in ("med", "dev"):
+        if t not in SUM_TYPE:
+            raise err_type(f"{name} on non-numeric")
+        order, bounds = _sorted_layout(index)
+        vals = a.astype(np.float64)[order]
+        nn = nulls[order]
+        out = np.empty(n, dtype=np.float64)
+        for g in range(n):
+            seg = vals[bounds[g]:bounds[g + 1]]
+            segn = nn[bounds[g]:bounds[g + 1]]
+            good = seg[~segn]
+            if len(good) == 0:
+                out[g] = T.NULL_F64
+            elif name == "med":
+                out[g] = np.median(good)
+            else:
+                out[g] = good.std()
+        return Obj(T.F64, out)
+
+    if name == "collect":
+        return aggr_collect(col, index)
+
+    raise err_type(f"unknown aggregate {name}")
+
+
+def aggr_collect(col: Obj, index: GroupIndex) -> Obj:
+    """Materialize MAPGROUP: LIST of per-group value vectors
+    (aggr.c aggr_collect)."""
+    from .compose import gather
+    if isinstance(index, GroupIndex):
+        order, bounds = _sorted_layout(index)
+        out = []
+        for g in range(index.n):
+            ids = order[bounds[g]:bounds[g + 1]]
+            out.append(gather(col, np.sort(ids)))
+        return list_(out)
+    raise err_type("bad group index")

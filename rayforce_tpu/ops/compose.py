@@ -1,0 +1,340 @@
+"""Construction ops: til/reverse/dict/table/list/enlist/enum/concat/take/
+distinct/group/raze/unify/diverse/split/rand/guid (reference core/compose.c).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import types as T
+from ..core import symbols
+from ..core.obj import (Obj, to_np, list_, dict_, table, vector, string,
+                        at_idx, enum as mk_enum, NULL_OBJ, atom_null)
+from ..core.errors import err_type, err_length, err_domain
+
+
+def ray_til(o: Obj) -> Obj:
+    if o.t >= 0 or -o.t not in (T.I16, T.I32, T.I64, T.U8):
+        raise err_type("til needs an integer atom")
+    n = int(o.v)
+    if n < 0:
+        raise err_domain("til of negative")
+    return Obj(T.I64, np.arange(n, dtype=np.int64))
+
+
+def ray_reverse(o: Obj) -> Obj:
+    if o.t == T.LIST:
+        return list_(list(reversed(o.v)))
+    if o.t == T.DICT:
+        k, v = o.v
+        return dict_(ray_reverse(k), ray_reverse(v))
+    if o.t < 0:
+        return o
+    return Obj(o.t, to_np(o)[::-1].copy(), domain=o.domain)
+
+
+def ray_list(args: list) -> Obj:
+    return list_(args)
+
+
+def unify_list(items: list) -> Obj:
+    """Collapse a LIST of same-type atoms into a typed vector (reference
+    unify_list). Returns LIST unchanged if heterogeneous."""
+    if not items:
+        return list_(items)
+    t0 = items[0].t
+    if t0 < 0 and t0 != -T.NULL and all(x.t == t0 for x in items):
+        st = -t0
+        if st == T.GUID:
+            return Obj(T.GUID, np.stack([np.asarray(x.v) for x in items]))
+        if st == T.ENUM:
+            dom = items[0].domain
+            if all(x.domain is dom for x in items):
+                return mk_enum(dom, [int(x.v) for x in items])
+            return list_(items)
+        if st in T.DTYPE:
+            return vector(st, [x.v for x in items])
+    return list_(items)
+
+
+def ray_enlist(args: list) -> Obj:
+    return unify_list(args)
+
+
+def ray_dict(k: Obj, v: Obj) -> Obj:
+    if k.t < 0 or v.t < 0:
+        raise err_type("dict needs vectors")
+    if len(k) != len(v):
+        raise err_length("dict keys/vals length mismatch")
+    return dict_(k, v)
+
+
+def ray_table(names: Obj, cols: Obj) -> Obj:
+    if names.t != T.SYMBOL:
+        raise err_type("table needs symbol column names")
+    if cols.t != T.LIST:
+        if T.is_vector(cols.t):
+            cols = list_([cols])
+        else:
+            raise err_type("table needs a list of columns")
+    colv = list(cols.v)
+    if len(names) != len(colv):
+        raise err_length("table names/columns length mismatch")
+    n = None
+    for c in colv:
+        if c.t < 0:
+            continue
+        cl = len(c)
+        if n is None:
+            n = cl
+        elif cl != n:
+            raise err_length("table column length mismatch")
+    if n is None:
+        n = 1
+    # broadcast atoms to columns
+    for i, c in enumerate(colv):
+        if c.t < 0:
+            colv[i] = take_n(c, n)
+    return table(names, colv)
+
+
+def take_n(o: Obj, n: int) -> Obj:
+    """(take x n): repeat/truncate to length n (reference items.c ray_take
+    with repeat)."""
+    if o.t < 0:
+        st = -o.t
+        if st == T.GUID:
+            return Obj(T.GUID, np.tile(np.asarray(o.v), (n, 1)))
+        if st == T.ENUM:
+            return mk_enum(o.domain, np.full(n, int(o.v), dtype=np.int64))
+        if st in T.DTYPE:
+            return Obj(st, np.full(n, o.v, dtype=T.DTYPE[st]))
+        if st == T.NULL:
+            return list_([NULL_OBJ] * n)
+        return list_([o] * n)
+    ln = len(o)
+    if ln == 0:
+        if o.t == T.LIST:
+            return list_([])
+        return Obj(o.t, to_np(o)[:0], domain=o.domain)
+    idx = np.arange(n, dtype=np.int64) % ln
+    return gather(o, idx)
+
+
+def gather(o: Obj, idx: np.ndarray) -> Obj:
+    """Positional gather (at_ids analogue)."""
+    if o.t == T.LIST:
+        return list_([o.v[int(i)] for i in idx])
+    if o.t == T.TABLE:
+        names, cols = o.v
+        return table(names, [gather(c, idx) for c in cols])
+    if o.t == T.DICT:
+        k, v = o.v
+        return dict_(k, gather(v, idx))
+    if o.t in (T.MAPFILTER, T.MAPGROUP):
+        from ..core.interp import collect_lazy
+        return gather(collect_lazy(o), idx)
+    if o.t in T.UNPARTED_OF:
+        from .parted import parted_raze
+        return gather(parted_raze(o), idx)
+    a = to_np(o)
+    n = len(a)
+    idx = np.asarray(idx, dtype=np.int64)
+    oob = (idx < 0) | (idx >= n)
+    if oob.any():
+        safe = np.where(oob, 0, idx)
+        r = a[safe]
+        t = o.t
+        if t in T.NULL_BY_TYPE:
+            r = np.where(oob, T.NULL_BY_TYPE[t], r)
+        elif t == T.ENUM:
+            r = np.where(oob, T.NULL_I64, r)
+        elif t == T.GUID:
+            r[oob] = 0
+        else:
+            r = np.where(oob, 0, r)
+        return Obj(o.t, r, domain=o.domain)
+    return Obj(o.t, a[idx], domain=o.domain)
+
+
+def ray_concat(a: Obj, b: Obj) -> Obj:
+    la = a.v if a.t == T.LIST else None
+    lb = b.v if b.t == T.LIST else None
+    if la is not None or lb is not None:
+        ea = la if la is not None else (list(_elems(a)))
+        eb = lb if lb is not None else (list(_elems(b)))
+        return list_(ea + eb)
+    if a.t < 0 and b.t < 0:
+        return unify_list([a, b])
+    if a.t < 0:
+        a = take_n(a, 1)
+    if b.t < 0:
+        b = take_n(b, 1)
+    if a.t == b.t and a.t != T.ENUM:
+        return Obj(a.t, np.concatenate([to_np(a), to_np(b)]))
+    if a.t == T.ENUM and b.t == T.ENUM and a.domain is b.domain:
+        return Obj(T.ENUM, np.concatenate([to_np(a), to_np(b)]),
+                   domain=a.domain)
+    # mixed types -> list
+    return list_(list(_elems(a)) + list(_elems(b)))
+
+
+def _elems(o: Obj):
+    if o.t < 0:
+        yield o
+    else:
+        for i in range(len(o)):
+            yield at_idx(o, i)
+
+
+def ray_distinct(o: Obj) -> Obj:
+    if o.t < 0:
+        return o
+    if o.t == T.LIST:
+        seen = []
+        from .cmp import obj_equal
+        for e in o.v:
+            if not any(obj_equal(e, s) for s in seen):
+                seen.append(e)
+        return list_(seen)
+    a = to_np(o)
+    if o.t == T.GUID:
+        _, idx = np.unique(a, axis=0, return_index=True)
+        return Obj(T.GUID, a[np.sort(idx)])
+    _, idx = np.unique(a, return_index=True)
+    out = a[np.sort(idx)]
+    return Obj(o.t, out, domain=o.domain)
+
+
+def ray_group(o: Obj) -> Obj:
+    """value -> indices dict, first-appearance order (compose.c:1071)."""
+    if o.t < 0:
+        raise err_type("group needs a vector")
+    if o.t == T.LIST:
+        raise err_type("group of list nyi")
+    a = to_np(o)
+    uniq, first_idx, inv = np.unique(a, return_index=True,
+                                     return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    remap = np.empty(len(uniq), dtype=np.int64)
+    remap[order] = np.arange(len(uniq))
+    gids = remap[inv]
+    keys = Obj(o.t, uniq[order], domain=o.domain)
+    groups = []
+    sort_by_gid = np.argsort(gids, kind="stable")
+    bounds = np.searchsorted(gids[sort_by_gid],
+                             np.arange(len(uniq)))
+    bounds = np.append(bounds, len(a))
+    for g in range(len(uniq)):
+        groups.append(Obj(T.I64, np.asarray(
+            sort_by_gid[bounds[g]:bounds[g + 1]], dtype=np.int64)))
+    return dict_(keys, list_(groups))
+
+
+def ray_enum(domain: Obj, vals: Obj) -> Obj:
+    if domain.t != T.SYMBOL:
+        raise err_type("enum domain must be symbols")
+    if vals.t == -T.SYMBOL:
+        ids = _enum_ids(domain, np.asarray([vals.v]))
+        return Obj(-T.ENUM, np.int64(ids[0]), domain=domain)
+    if vals.t != T.SYMBOL:
+        raise err_type("enum values must be symbols")
+    ids = _enum_ids(domain, to_np(vals))
+    return mk_enum(domain, ids)
+
+
+def _enum_ids(domain: Obj, sym_ids: np.ndarray) -> np.ndarray:
+    dom = to_np(domain)
+    pos = {int(s): i for i, s in enumerate(dom)}
+    out = np.empty(len(sym_ids), dtype=np.int64)
+    for i, s in enumerate(sym_ids):
+        if int(s) not in pos:
+            raise err_domain("value not in enum domain")
+        out[i] = pos[int(s)]
+    return out
+
+
+def ray_rand(n: Obj, spec: Obj) -> Obj:
+    """(rand n x): n random values below x / from vector x."""
+    if n.t >= 0:
+        raise err_type("rand count must be an atom")
+    cnt = int(n.v)
+    if spec.t < 0:
+        st = -spec.t
+        if st in (T.I16, T.I32, T.I64):
+            return Obj(T.I64, np.random.randint(0, max(1, int(spec.v)),
+                                                size=cnt).astype(np.int64))
+        if st == T.F64:
+            return Obj(T.F64, np.random.uniform(0, float(spec.v), size=cnt))
+        raise err_type("rand spec")
+    idx = np.random.randint(0, max(1, len(spec)), size=cnt)
+    return gather(spec, idx.astype(np.int64))
+
+
+def ray_guid(o: Obj) -> Obj:
+    if o.t >= 0:
+        raise err_type("guid needs an atom count")
+    n = int(o.v)
+    data = np.random.randint(0, 256, size=(n, 16), dtype=np.int64) \
+        .astype(np.uint8)
+    return Obj(T.GUID, data)
+
+
+def ray_raze(o: Obj) -> Obj:
+    if o.t in T.UNPARTED_OF:
+        from .parted import parted_raze
+        return parted_raze(o)
+    if o.t != T.LIST:
+        return o
+    items = o.v
+    if not items:
+        return list_([])
+    out = items[0]
+    for e in items[1:]:
+        out = ray_concat(out, e)
+    return out
+
+
+def ray_unify(o: Obj) -> Obj:
+    if o.t != T.LIST:
+        return o
+    return unify_list(o.v)
+
+
+def ray_diverse(o: Obj) -> Obj:
+    if o.t == T.LIST or o.t < 0:
+        return o
+    return list_(list(_elems(o)))
+
+
+def ray_remove(o: Obj, idx: Obj) -> Obj:
+    if o.t < 0:
+        raise err_type("remove from atom")
+    n = len(o)
+    if idx.t < 0:
+        kill = {int(idx.v)}
+    else:
+        kill = {int(i) for i in to_np(idx)}
+    keep = np.asarray([i for i in range(n) if i not in kill],
+                      dtype=np.int64)
+    return gather(o, keep)
+
+
+def ray_split(sep: Obj, o: Obj) -> Obj:
+    from ..core.obj import str_of
+    if o.t == T.C8:
+        s = str_of(o)
+        parts = s.split(str_of(sep) if sep.t == T.C8 else chr(int(sep.v)))
+        return list_([string(p) for p in parts])
+    if o.t == T.LIST:
+        return list_([ray_split(sep, e) for e in o.v])
+    raise err_type("split needs a string")
+
+
+def ray_cut(o: Obj, at: Obj) -> Obj:
+    idx = to_np(at) if at.t > 0 else np.asarray([int(at.v)])
+    n = len(o)
+    outs = []
+    for i, st in enumerate(idx):
+        en = idx[i + 1] if i + 1 < len(idx) else n
+        outs.append(gather(o, np.arange(int(st), int(en), dtype=np.int64)))
+    return list_(outs)

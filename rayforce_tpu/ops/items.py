@@ -1,0 +1,323 @@
+"""Indexing & set ops: at/find/filter/take/in/within/sect/except/union/
+key/value/where/first/last/count/bin/binr (reference core/items.c).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import types as T
+from ..core import symbols
+from ..core.obj import (Obj, to_np, list_, dict_, table, at_idx, NULL_OBJ,
+                        atom_null, col_by_name, vec_sym)
+from ..core.errors import err_type, err_index, err_length
+from .compose import gather, take_n, unify_list
+
+
+def ray_count(o: Obj) -> Obj:
+    if o.t == T.MAPGROUP:
+        from .aggr import grouped_aggregate
+        return grouped_aggregate("count", o.v[0], o.v[1])
+    if o.t == T.MAPFILTER:
+        from .filter import filter_len
+        return Obj(-T.I64, np.int64(filter_len(o)))
+    if o.t < 0:
+        return Obj(-T.I64, np.int64(1))
+    return Obj(-T.I64, np.int64(len(o)))
+
+
+def ray_first(o: Obj) -> Obj:
+    if o.t == T.MAPGROUP:
+        from .aggr import grouped_aggregate
+        return grouped_aggregate("first", o.v[0], o.v[1])
+    if o.t == T.MAPFILTER:
+        from .filter import filter_collect
+        o = filter_collect(o.v[0], o.v[1])
+    if o.t < 0:
+        return o
+    if len(o) == 0:
+        return _empty_first(o)
+    return at_idx(o, 0)
+
+
+def ray_last(o: Obj) -> Obj:
+    if o.t == T.MAPGROUP:
+        from .aggr import grouped_aggregate
+        return grouped_aggregate("last", o.v[0], o.v[1])
+    if o.t == T.MAPFILTER:
+        from .filter import filter_collect
+        o = filter_collect(o.v[0], o.v[1])
+    if o.t < 0:
+        return o
+    if len(o) == 0:
+        return _empty_first(o)
+    return at_idx(o, len(o) - 1)
+
+
+def _empty_first(o: Obj) -> Obj:
+    if o.t == T.LIST:
+        return NULL_OBJ
+    return atom_null(o.t if o.t != T.ENUM else T.SYMBOL)
+
+
+def ray_where(o: Obj) -> Obj:
+    """bool vector -> i64 indices (items.c:1366)."""
+    if o.t in T.UNPARTED_OF:
+        from .parted import parted_where
+        return parted_where(o)
+    if o.t == -T.B8:
+        return Obj(T.I64, np.arange(1 if int(o.v) else 0, dtype=np.int64))
+    if o.t != T.B8:
+        raise err_type("where needs booleans")
+    return Obj(T.I64, np.nonzero(to_np(o))[0].astype(np.int64))
+
+
+def ray_at(o: Obj, k: Obj) -> Obj:
+    """Polymorphic indexing (items.c:74)."""
+    t = o.t
+    if t == T.TABLE:
+        if k.t == -T.SYMBOL:
+            c = col_by_name(o, symbols.name_of(int(k.v)))
+            if c is None:
+                raise err_index("no such column")
+            return c
+        if k.t == T.SYMBOL:
+            names, cols = o.v
+            sel = []
+            outn = []
+            for sid in to_np(k):
+                c = col_by_name(o, symbols.name_of(int(sid)))
+                if c is None:
+                    raise err_index("no such column")
+                sel.append(c)
+                outn.append(int(sid))
+            return table(Obj(T.SYMBOL, np.asarray(outn, dtype=np.int64)),
+                         sel)
+        if k.t < 0:  # row -> dict
+            return at_idx(o, int(k.v))
+        idx = to_np(k).astype(np.int64)
+        names, cols = o.v
+        return table(names, [gather(c, idx) for c in cols])
+    if t == T.DICT:
+        keys, vals = o.v
+        if k.t < 0:
+            i = _dict_find(keys, k)
+            if i is None:
+                return NULL_OBJ
+            return at_idx(vals, i)
+        out = []
+        for j in range(len(k)):
+            i = _dict_find(keys, at_idx(k, j))
+            out.append(NULL_OBJ if i is None else at_idx(vals, i))
+        return unify_list(out)
+    if t < 0:
+        raise err_type("at on atom")
+    if k.t < 0:
+        if -k.t not in (T.I16, T.I32, T.I64, T.U8):
+            raise err_type("at index must be integer")
+        i = int(k.v)
+        if i < 0 or i >= len(o):
+            if o.t == T.LIST:
+                return NULL_OBJ
+            return atom_null(o.t if o.t != T.ENUM else T.SYMBOL)
+        return at_idx(o, i)
+    if k.t == T.LIST:
+        return list_([ray_at(o, e) for e in k.v])
+    idx = to_np(k).astype(np.int64)
+    return gather(o, idx)
+
+
+def _dict_find(keys: Obj, k: Obj):
+    from .cmp import obj_equal
+    for i in range(len(keys)):
+        if obj_equal(at_idx(keys, i), k):
+            return i
+    return None
+
+
+def ray_key(o: Obj) -> Obj:
+    if o.t == T.DICT:
+        return o.v[0]
+    if o.t == T.TABLE:
+        return o.v[0]
+    if o.t == T.ENUM:
+        return o.domain
+    if o.t > 0:
+        return Obj(T.I64, np.arange(len(o), dtype=np.int64))
+    raise err_type("key on atom")
+
+
+def ray_value(o: Obj) -> Obj:
+    if o.t == T.DICT:
+        return o.v[1]
+    if o.t == T.TABLE:
+        return list_(o.v[1])
+    if o.t == T.ENUM:
+        dom = to_np(o.domain)
+        ids = to_np(o)
+        safe = np.where((ids >= 0) & (ids < len(dom)), ids, 0)
+        out = dom[safe]
+        out = np.where(ids == T.NULL_I64, T.NULL_I64, out)
+        return Obj(T.SYMBOL, out.astype(np.int64))
+    if o.t == -T.ENUM:
+        dom = to_np(o.domain)
+        i = int(o.v)
+        sid = int(dom[i]) if 0 <= i < len(dom) else T.NULL_I64
+        return Obj(-T.SYMBOL, np.int64(sid))
+    return o
+
+
+def ray_find(o: Obj, x: Obj) -> Obj:
+    """First index of x in o; null if absent (items.c:302)."""
+    if o.t == T.DICT:
+        keys, vals = o.v
+        # reverse lookup: find value -> key
+        from .cmp import obj_equal
+        for i in range(len(vals)):
+            if obj_equal(at_idx(vals, i), x):
+                return at_idx(keys, i)
+        return NULL_OBJ
+    if o.t < 0:
+        raise err_type("find in atom")
+    if x.t < 0 and o.t != T.LIST:
+        a = to_np(o)
+        if o.t == T.ENUM:
+            v = ray_value(o)
+            return ray_find(v, x)
+        hits = np.nonzero(a == T.DTYPE.get(o.t, np.int64)(x.v))[0] \
+            if o.t != T.GUID else \
+            np.nonzero((a == np.asarray(x.v)).all(axis=1))[0]
+        if len(hits) == 0:
+            return Obj(-T.I64, T.NULL_I64)
+        return Obj(-T.I64, np.int64(hits[0]))
+    if x.t < 0 and o.t == T.LIST:
+        i = _list_find(o.v, x)
+        return Obj(-T.I64, T.NULL_I64 if i is None else np.int64(i))
+    # vector of lookups
+    out = []
+    for j in range(len(x)):
+        out.append(ray_find(o, at_idx(x, j)))
+    return unify_list(out)
+
+
+def _list_find(items, x):
+    from .cmp import obj_equal
+    for i, e in enumerate(items):
+        if obj_equal(e, x):
+            return i
+    return None
+
+
+def ray_in(x: Obj, o: Obj) -> Obj:
+    """(in x set) -> booleans shaped like x (items.c:736)."""
+    if x.t < 0:
+        f = ray_find(o, x)
+        hit = not (f.t == -T.I64 and int(f.v) == int(T.NULL_I64)) \
+            if f.t == -T.I64 else f.t != -T.NULL
+        return Obj(-T.B8, np.int8(1 if hit else 0))
+    if x.t == T.LIST:
+        return list_([ray_in(e, o) for e in x.v])
+    if o.t == T.LIST or o.t < 0:
+        out = np.zeros(len(x), dtype=np.int8)
+        for j in range(len(x)):
+            out[j] = int(ray_in(at_idx(x, j), o).v)
+        return Obj(T.B8, out)
+    xa = _comparable(x)
+    oa = _comparable(o)
+    return Obj(T.B8, np.isin(xa, oa).astype(np.int8))
+
+
+def _comparable(o: Obj) -> np.ndarray:
+    if o.t == T.ENUM:
+        return to_np(ray_value(o))
+    return to_np(o)
+
+
+def ray_within(x: Obj, rng: Obj) -> Obj:
+    if rng.t < 0 or len(rng) != 2:
+        raise err_length("within needs a 2-element range")
+    lo = at_idx(rng, 0)
+    hi = at_idx(rng, 1)
+    from .vops import compare
+    ge = compare("ge", x, lo)
+    le = compare("le", x, hi)
+    from .logic import bool_and
+    return bool_and(ge, le)
+
+
+def ray_sect(a: Obj, b: Obj) -> Obj:
+    """Set intersection, keeps a's order, distinct."""
+    from .compose import ray_distinct
+    a = ray_distinct(a) if a.t >= 0 else a
+    mask = ray_in(a, b)
+    if mask.t < 0:
+        return a if int(mask.v) else take_n(a, 0)
+    from .filter import apply_indices
+    idx = np.nonzero(to_np(mask))[0].astype(np.int64)
+    return gather(a, idx)
+
+
+def ray_except(a: Obj, b: Obj) -> Obj:
+    mask = ray_in(a, b)
+    if a.t < 0:
+        return a if not int(mask.v) else NULL_OBJ
+    idx = np.nonzero(~to_np(mask).astype(bool))[0].astype(np.int64)
+    return gather(a, idx)
+
+
+def ray_union(a: Obj, b: Obj) -> Obj:
+    from .compose import ray_concat, ray_distinct
+    return ray_distinct(ray_concat(a, b))
+
+
+def ray_filter(f: Obj, o: Obj):
+    """(filter pred xs) (items.c:351)."""
+    from ..core.interp import collect_lazy
+    raise err_type("filter is bound in builtins with interp access")
+
+
+def ray_bin(hay: Obj, needles: Obj) -> Obj:
+    """binary search: index of last element <= needle (items.c:1552)."""
+    a = to_np(hay)
+    if needles.t < 0:
+        i = int(np.searchsorted(a, needles.v, side="right")) - 1
+        return Obj(-T.I64, np.int64(i) if i >= 0 else T.NULL_I64)
+    n = to_np(needles)
+    idx = np.searchsorted(a, n, side="right").astype(np.int64) - 1
+    idx = np.where(idx < 0, T.NULL_I64, idx)
+    return Obj(T.I64, idx)
+
+
+def ray_binr(hay: Obj, needles: Obj) -> Obj:
+    """index of first element >= needle (items.c:1599)."""
+    a = to_np(hay)
+    if needles.t < 0:
+        i = int(np.searchsorted(a, needles.v, side="left"))
+        return Obj(-T.I64, np.int64(i) if i < len(a) else T.NULL_I64)
+    n = to_np(needles)
+    idx = np.searchsorted(a, n, side="left").astype(np.int64)
+    idx = np.where(idx >= len(a), T.NULL_I64, idx)
+    return Obj(T.I64, idx)
+
+
+def ray_take(o: Obj, n: Obj) -> Obj:
+    """(take x n): n>=0 head/repeat, n<0 tail (items.c:398)."""
+    if n.t >= 0:
+        raise err_type("take count must be an atom")
+    cnt = int(n.v)
+    if o.t < 0:
+        return take_n(o, abs(cnt))
+    ln = len(o)
+    if cnt >= 0:
+        if cnt <= ln:
+            idx = np.arange(cnt, dtype=np.int64)
+        else:
+            idx = np.arange(cnt, dtype=np.int64) % max(ln, 1) \
+                if ln else np.zeros(0, dtype=np.int64)
+        return gather(o, idx)
+    cnt = -cnt
+    if cnt <= ln:
+        idx = np.arange(ln - cnt, ln, dtype=np.int64)
+    else:
+        idx = (np.arange(cnt, dtype=np.int64) % max(ln, 1)) if ln \
+            else np.zeros(0, dtype=np.int64)
+    return gather(o, idx)

@@ -1,0 +1,161 @@
+"""Introspection & output: type/count/rc/meta/show/format/print/println/
+set-fpr/memstat/sysinfo (reference core/misc.c, format.c entry points)."""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core import types as T
+from ..core import symbols, fmt
+from ..core.obj import Obj, to_np, list_, dict_, string, sym, vec_sym, \
+    NULL_OBJ, str_of
+from ..core.errors import RayError, err_type
+
+
+def type_name(o: Obj) -> str:
+    t = o.t
+    if isinstance(o, RayError):
+        return "ERROR"
+    if t < 0:
+        st = -t
+        if st == T.NULL:
+            return "NULL"
+        if st == T.ENUM:
+            return "enum"
+        return T.TYPE_NAMES.get(st, "?")
+    if t == T.LIST:
+        return "LIST"
+    if t <= T.ENUM or t in (T.TABLE, T.DICT, T.LAMBDA, T.UNARY, T.BINARY,
+                            T.VARY):
+        base = T.TYPE_NAMES.get(t, "?")
+        if t in (T.TABLE, T.DICT, T.LAMBDA, T.UNARY, T.BINARY, T.VARY):
+            return base.upper()
+        return base.upper()
+    if t in T.UNPARTED_OF:
+        return "PARTED" + T.TYPE_NAMES[T.UNPARTED_OF[t]].upper()
+    if t == T.MAPGROUP:
+        return "MAPGROUP"
+    if t == T.MAPFILTER:
+        return "MAPFILTER"
+    if t == T.NULL:
+        return "NULL"
+    return "?"
+
+
+def ray_type(o: Obj) -> Obj:
+    return sym(type_name(o))
+
+
+def ray_rc(o: Obj) -> Obj:
+    return Obj(-T.I64, np.int64(sys.getrefcount(o) - 2))
+
+
+def ray_meta(o: Obj) -> Obj:
+    """Per-column type/len/attrs/mem dict for tables (misc.c:245)."""
+    if o.t == T.TABLE:
+        names, cols = o.v
+        rows = []
+        ks = vec_sym(["type", "count", "attrs", "mem"])
+        vals = []
+        for c in cols:
+            tname = sym(type_name(c))
+            cnt = Obj(-T.I64, np.int64(len(c) if c.t >= 0 else 1))
+            attrs = Obj(-T.I64, np.int64(c.attrs))
+            mem = Obj(-T.I64, np.int64(_mem_of(c)))
+            vals.append(dict_(ks, list_([tname, cnt, attrs, mem])))
+        return dict_(names, list_(vals))
+    return dict_(vec_sym(["type", "count", "mem"]),
+                 list_([sym(type_name(o)),
+                        Obj(-T.I64, np.int64(len(o) if o.t >= 0 else 1)),
+                        Obj(-T.I64, np.int64(_mem_of(o)))]))
+
+
+def _mem_of(o: Obj) -> int:
+    try:
+        a = to_np(o)
+        return int(a.nbytes)
+    except Exception:
+        return 0
+
+
+def ray_show(o: Obj) -> Obj:
+    print(fmt.format_obj(o, 0, fmt.NO_LIMIT, 2))
+    return NULL_OBJ
+
+
+def obj_fmt_n(args: list):
+    """format/print/println shared: single arg -> full format; multiple ->
+    '%' placeholder substitution in bare mode (format.c obj_fmt_n)."""
+    if not args:
+        return None
+    if len(args) == 1:
+        return fmt.format_top(args[0])
+    if args[0].t != T.C8:
+        return None
+    template = str_of(args[0])
+    parts = template.split("%")
+    if len(parts) - 1 < len(args) - 1:
+        return None
+    if len(parts) - 1 > len(args) - 1:
+        return None
+    out = [parts[0]]
+    for i, a in enumerate(args[1:], 1):
+        out.append(fmt.format_obj(a, 0, None, 0))
+        out.append(parts[i])
+    return "".join(out)
+
+
+def ray_format(args: list) -> Obj:
+    s = obj_fmt_n(args)
+    if s is None:
+        raise RayError("parse", "bad format")
+    return string(s)
+
+
+def ray_print(args: list) -> Obj:
+    s = obj_fmt_n(args)
+    if s is None:
+        raise RayError("parse", "bad format")
+    sys.stdout.write(s)
+    sys.stdout.flush()
+    return NULL_OBJ
+
+
+def ray_println(args: list) -> Obj:
+    s = obj_fmt_n(args)
+    if s is None:
+        raise RayError("parse", "bad format")
+    sys.stdout.write(s + "\n")
+    return NULL_OBJ
+
+
+def ray_set_fpr(o: Obj) -> Obj:
+    if o.t == -T.NULL:
+        fmt.set_fpr(None)
+    else:
+        fmt.set_fpr(int(o.v))
+    return NULL_OBJ
+
+
+def ray_memstat(args: list) -> Obj:
+    import resource
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    return dict_(vec_sym(["msys", "heap", "free", "syms"]),
+                 list_([Obj(-T.I64, np.int64(ru.ru_maxrss * 1024)),
+                        Obj(-T.I64, np.int64(0)),
+                        Obj(-T.I64, np.int64(0)),
+                        Obj(-T.I64, np.int64(symbols.count()))]))
+
+
+def ray_sysinfo(args: list) -> Obj:
+    import platform
+    import jax
+    try:
+        devs = [str(d) for d in jax.devices()]
+    except Exception:
+        devs = []
+    return dict_(vec_sym(["os", "arch", "devices"]),
+                 list_([string(platform.system().lower()),
+                        string(platform.machine()),
+                        list_([string(d) for d in devs])]))

@@ -1,0 +1,318 @@
+"""Query layer: select / update / insert / upsert (reference core/query.c,
+core/update.c).
+
+`select` consumes a dict whose values are unevaluated ASTs: the reserved
+keys from:/where:/by:/take: shape the query; every other entry is an output
+column expression evaluated in a query context where the source table's
+columns resolve lazily:
+
+  - after `where`, columns are MAPFILTER(col, ids) — kernels consume ids
+    without materializing (filter.c filter_map);
+  - after `by`, columns are MAPGROUP(col, index) — FN_AGGR builtins receive
+    them unmaterialized and dispatch to grouped kernels (aggr.c), non-aggr
+    uses materialize per-group value lists (eval.c collect_lazy).
+
+This mirrors the reference select pipeline (query.c:607: fetch -> filters ->
+groupings -> mappings -> collect -> build) re-expressed over columnar
+numpy/JAX kernels instead of a per-thread pool.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import types as T
+from ..core import symbols
+from ..core.obj import (Obj, to_np, list_, dict_, table, at_idx, NULL_OBJ,
+                        vec_sym)
+from ..core.errors import err_type, err_length, err_domain
+from ..core.interp import QueryCtx, collect_lazy
+from .group import group_single, group_multi, mapgroup, GroupIndex
+from .filter import filter_map, filter_collect
+from .compose import gather, take_n, unify_list
+from .items import ray_where
+
+SYM_FROM = symbols.intern("from")
+SYM_WHERE = symbols.intern("where")
+SYM_BY = symbols.intern("by")
+SYM_TAKE = symbols.intern("take")
+RESERVED = {SYM_FROM, SYM_WHERE, SYM_BY, SYM_TAKE}
+
+
+def _dict_entries(d: Obj):
+    keys, vals = d.v
+    kt = keys.t
+    if kt != T.SYMBOL:
+        raise err_type("select needs symbol keys")
+    ids = to_np(keys)
+    return [(int(ids[i]), vals.v[i]) for i in range(len(ids))]
+
+
+def _wrap_cols(tbl: Obj, wrapper) -> Obj:
+    names, cols = tbl.v
+    return table(names, [wrapper(c) for c in cols])
+
+
+def select_parts(interp, d: Obj):
+    """Shared select/update machinery. Returns (src_table, entries, ids,
+    gindex, by_names, by_cols, take_limit).
+
+    ids: filter indices (np array) or None; gindex: GroupIndex or None.
+    by_cols are the (filtered) group key columns at first-appearance order.
+    """
+    if d.t != T.DICT:
+        raise err_type("select needs a dict")
+    entries = _dict_entries(d)
+    from_ast = None
+    where_ast = None
+    by_ast = None
+    take_ast = None
+    outs = []
+    for sid, ast in entries:
+        if sid == SYM_FROM:
+            from_ast = ast
+        elif sid == SYM_WHERE:
+            where_ast = ast
+        elif sid == SYM_BY:
+            by_ast = ast
+        elif sid == SYM_TAKE:
+            take_ast = ast
+        else:
+            outs.append((sid, ast))
+    if from_ast is None:
+        raise err_domain("select needs from:")
+    src = collect_lazy(interp.eval(from_ast))
+    if src.t != T.TABLE:
+        raise err_type("from: must be a table")
+
+    # -- where --
+    ids = None
+    if where_ast is not None:
+        interp.qctx.append(QueryCtx(src))
+        try:
+            mask = collect_lazy(interp.eval(where_ast))
+        finally:
+            interp.qctx.pop()
+        w = ray_where(mask) if mask.t in (T.B8, -T.B8) else mask
+        if w.t != T.I64:
+            raise err_type("where must yield booleans or indices")
+        ids = to_np(w)
+        if mask.t == -T.B8:
+            # scalar condition: all or nothing
+            ids = np.arange(len(src), dtype=np.int64) if int(mask.v) \
+                else np.zeros(0, dtype=np.int64)
+
+    # -- by --
+    gindex = None
+    by_names: list[int] = []
+    by_cols: list[Obj] = []
+    if by_ast is not None:
+        interp.qctx.append(QueryCtx(src))
+        try:
+            if by_ast.t == -T.SYMBOL and not (by_ast.attrs & 1):
+                by_pairs = [(int(by_ast.v), interp.eval(by_ast))]
+            elif by_ast.t == T.DICT:
+                by_pairs = []
+                bkeys, bvals = by_ast.v
+                bids = to_np(bkeys)
+                for i in range(len(bids)):
+                    by_pairs.append((int(bids[i]),
+                                     collect_lazy(interp.eval(bvals.v[i]))))
+            else:
+                v = collect_lazy(interp.eval(by_ast))
+                nm = int(by_ast.v) if by_ast.t == -T.SYMBOL \
+                    else symbols.intern("x")
+                by_pairs = [(nm, v)]
+        finally:
+            interp.qctx.pop()
+        key_cols = []
+        for nm, col in by_pairs:
+            col = collect_lazy(col)
+            if ids is not None and col.t >= 0:
+                col = gather(col, ids)
+            by_names.append(nm)
+            key_cols.append(col)
+        gindex = group_multi(key_cols)
+        by_cols = [gather(c, gindex.first_ids) for c in key_cols]
+
+    take_limit = None
+    if take_ast is not None:
+        tv = collect_lazy(interp.eval(take_ast))
+        take_limit = int(tv.v)
+    return src, outs, ids, gindex, by_names, by_cols, take_limit
+
+
+def _lazy_table(src: Obj, ids, gindex) -> Obj:
+    def wrap(c):
+        w = c
+        if ids is not None:
+            w = filter_map(w, Obj(T.I64, ids))
+        if gindex is not None:
+            w = mapgroup(w, gindex)
+        return w
+    return _wrap_cols(src, wrap)
+
+
+def ray_select(interp, arg) -> Obj:
+    d = collect_lazy(interp.eval(arg))
+    src, outs, ids, gindex, by_names, by_cols, lim = \
+        select_parts(interp, d)
+
+    lazy = _lazy_table(src, ids, gindex)
+    out_names: list[int] = []
+    out_cols: list[Obj] = []
+
+    if not outs:
+        # bare select: materialized (filtered) table
+        names, cols = src.v
+        for i, sid in enumerate(to_np(names)):
+            out_names.append(int(sid))
+            c = cols[i]
+            if ids is not None:
+                c = filter_collect(c, Obj(T.I64, ids))
+            if gindex is not None:
+                from .aggr import aggr_collect
+                c = aggr_collect(c, gindex)
+            out_cols.append(c)
+    else:
+        interp.qctx.append(QueryCtx(lazy))
+        try:
+            for sid, ast in outs:
+                v = interp.eval(ast)
+                out_names.append(sid)
+                out_cols.append(v)
+        finally:
+            interp.qctx.pop()
+
+    n_rows = None
+    if gindex is not None:
+        n_rows = gindex.n
+    # normalize output columns
+    norm = []
+    for c in out_cols:
+        c = collect_lazy(c)
+        if c.t >= 0 and n_rows is None:
+            n_rows = len(c)
+        norm.append(c)
+    if n_rows is None:
+        n_rows = 1
+    final = []
+    for c in norm:
+        if c.t < 0:
+            c = take_n(c, n_rows)
+        elif len(c) != n_rows:
+            raise err_length("select column length mismatch")
+        final.append(c)
+
+    all_names = by_names + out_names
+    all_cols = by_cols + final
+    if not outs:
+        all_names = by_names + out_names
+        all_cols = by_cols + final
+    out = table(Obj(T.SYMBOL, np.asarray(all_names, dtype=np.int64)),
+                all_cols)
+    if lim is not None:
+        out = _apply_take(out, lim)
+    return out
+
+
+def _apply_take(tbl: Obj, lim: int) -> Obj:
+    n = len(tbl)
+    if lim >= 0:
+        idx = np.arange(min(lim, n), dtype=np.int64)
+    else:
+        idx = np.arange(max(0, n + lim), n, dtype=np.int64)
+    names, cols = tbl.v
+    return table(names, [gather(c, idx) for c in cols])
+
+
+def ray_update(interp, arg) -> Obj:
+    """update: select-shaped dict applying grouped/filtered column writes
+    copy-on-write (update.c:753-1000)."""
+    d = collect_lazy(interp.eval(arg))
+    src, outs, ids, gindex, by_names, by_cols, lim = \
+        select_parts(interp, d)
+    names, cols = src.v
+    new_cols = list(cols)
+    name_ids = to_np(names)
+    lazy = _lazy_table(src, ids, gindex)
+    interp.qctx.append(QueryCtx(lazy))
+    try:
+        for sid, ast in outs:
+            v = collect_lazy(interp.eval(ast))
+            total = len(src)
+            # find or add target column
+            hit = np.nonzero(name_ids == sid)[0]
+            if gindex is not None:
+                v = _broadcast_groups(v, gindex, ids, total, new_cols,
+                                      hit, name_ids)
+            base_idx = ids if ids is not None else None
+            if len(hit):
+                ci = int(hit[0])
+                new_cols[ci] = _scatter(new_cols[ci], base_idx, v, total)
+            else:
+                col = _scatter_new(base_idx, v, total)
+                name_ids = np.append(name_ids, np.int64(sid))
+                new_cols.append(col)
+    finally:
+        interp.qctx.pop()
+    return table(Obj(T.SYMBOL, name_ids.astype(np.int64)), new_cols)
+
+
+def _broadcast_groups(v: Obj, gindex: GroupIndex, ids, total, cols, hit,
+                      name_ids) -> Obj:
+    """Per-group result -> per-row values (group member broadcast)."""
+    if v.t < 0:
+        return v
+    if len(v) == gindex.source_len:
+        return v
+    if len(v) != gindex.n:
+        raise err_length("update group result length mismatch")
+    return gather(v, gindex.gids)
+
+
+def _scatter(col: Obj, ids, v: Obj, total: int) -> Obj:
+    if ids is None:
+        if v.t < 0:
+            return take_n(v, total)
+        if len(v) != total:
+            raise err_length("update length mismatch")
+        return v
+    a_obj = col
+    from ..core.interp import collect_lazy as cl
+    a_obj = cl(a_obj)
+    a = to_np(a_obj).copy()
+    if v.t < 0:
+        vv = to_np(take_n(v, len(ids)))
+    else:
+        if len(v) != len(ids):
+            raise err_length("update length mismatch")
+        vv = to_np(v)
+    if a.dtype != vv.dtype:
+        a = a.astype(np.result_type(a.dtype, vv.dtype))
+    a[ids] = vv
+    t = a_obj.t
+    if a.dtype != T.DTYPE.get(t, a.dtype):
+        # column type changed (e.g. ints -> floats)
+        t = T.F64 if a.dtype == np.float64 else t
+    return Obj(t, a, domain=a_obj.domain)
+
+
+def _scatter_new(ids, v: Obj, total: int) -> Obj:
+    if ids is None:
+        if v.t < 0:
+            return take_n(v, total)
+        if len(v) != total:
+            raise err_length("update length mismatch")
+        return v
+    # new column: nulls elsewhere
+    if v.t < 0:
+        base = take_n(v, len(ids))
+    else:
+        base = v
+    t = base.t
+    nullv = T.NULL_BY_TYPE.get(t)
+    if nullv is None:
+        raise err_type("cannot create partial column of this type")
+    a = np.full(total, nullv, dtype=T.DTYPE[t])
+    a[ids] = to_np(base)
+    return Obj(t, a)
