@@ -41,7 +41,9 @@ def build_env(interp_holder: dict) -> Env:
     def sf_set(ip, target, vexpr):
         v = collect_lazy(ip.eval(vexpr))
         if target.t == -T.SYMBOL:
-            ip.amend(int(target.v), v)
+            # `set` always binds the GLOBAL (oracle: set inside a lambda is
+            # visible at top level); `let` is the local binder.
+            ip.globals[int(target.v)] = v
             return v
         # (set "path" x) persists to disk (binary.c:52-315)
         tv = ip.eval(target)
@@ -65,28 +67,29 @@ def build_env(interp_holder: dict) -> Env:
         return r
 
     def sf_if(ip, args):
-        if len(args) < 2:
+        if len(args) not in (2, 3):
             raise RayError("arity", "if needs 2 or 3 args")
         c = collect_lazy(ip.eval(args[0]))
-        truthy = c.t == -T.B8 and bool(int(c.v))
-        if c.t != -T.B8:
-            raise err_type("if condition must be boolean")
-        if truthy:
+        if _truthy(c):
             return ip.eval(args[1])
-        if len(args) >= 3:
+        if len(args) == 3:
             return ip.eval(args[2])
         return NULL_OBJ
 
     def sf_try(ip, body, handler):
+        from .errors import err_msg
         try:
             return collect_lazy(ip.eval(body))
         except _Return:
             raise
         except RayError as e:
+            # the handler receives err_msg as a STRING (eval.c try_obj)
             h = ip.eval(handler)
-            err_obj = Obj(-T.ERR, e)
             if h.t == T.LAMBDA:
-                return ip.call_lambda(h.v, [err_obj])
+                # the reference's error string includes the terminating NUL
+                # (str_fmt "%s" writes len+1); it prints as a trailing space
+                return ip.call_lambda(h.v,
+                                      [string(err_msg(e) + "\x00")])
             return h
 
     def sf_timeit(ip, args):
@@ -142,19 +145,23 @@ def build_env(interp_holder: dict) -> Env:
         code = int(args[0].v) if args else 0
         raise SystemExit(code)
 
-    def fn_filter(f, xs):
-        ip = interp()
-        from ..ops.iter import _call
+    def fn_filter(xs, mask):
+        """(filter data bools) -> kept values (items.c ray_filter)."""
         from ..ops.compose import gather
+        if mask.t != T.B8:
+            raise err_type("filter needs a boolean mask")
+        import numpy as _np
+        m = _np.asarray(mask.v).astype(bool)
+        idx = _np.nonzero(m)[0].astype(_np.int64)
+        if xs.t == T.TABLE:
+            from .obj import table as mk_table
+            names, cols = xs.v
+            return mk_table(names, [gather(c, idx) for c in cols])
         if xs.t < 0:
             raise err_type("filter needs a sequence")
-        keep = []
-        from .obj import at_idx
-        for i in range(len(xs)):
-            r = _call(ip, f, [at_idx(xs, i)])
-            if r.t == -T.B8 and int(r.v):
-                keep.append(i)
-        return gather(xs, np.asarray(keep, dtype=np.int64))
+        if len(xs) != len(m):
+            raise RayError("length", "filter mask length mismatch")
+        return gather(xs, idx)
 
     # ---- iterator wrappers (need interp) ------------------------------
     def v_map(args):
@@ -201,8 +208,9 @@ def build_env(interp_holder: dict) -> Env:
 
     # ---- temporal now/cast --------------------------------------------
     def fn_date(o):
+        from .temporal import EPOCH_2000_DAYS
         if o.t == -T.NULL:
-            return mk_date(int(_time.time() // 86400))
+            return mk_date(int(_time.time() // 86400) - EPOCH_2000_DAYS)
         return cast.cast_obj(T.DATE, o)
 
     def fn_time(o):
@@ -212,8 +220,10 @@ def build_env(interp_holder: dict) -> Env:
         return cast.cast_obj(T.TIME, o)
 
     def fn_timestamp(o):
+        from .temporal import EPOCH_2000_DAYS
         if o.t == -T.NULL:
-            return mk_ts(int(_time.time() * 1e9))
+            return mk_ts(int((_time.time() - EPOCH_2000_DAYS * 86400)
+                             * 1e9))
         return cast.cast_obj(T.TIMESTAMP, o)
 
     # ---- registration -------------------------------------------------
@@ -345,6 +355,19 @@ def build_env(interp_holder: dict) -> Env:
     R("internals", V, lambda args: NULL_OBJ)
     R("set-fpr", U, misc.ray_set_fpr)
     return env
+
+
+def _truthy(c) -> bool:
+    """ops_as_b8 (reference core/ops.c:42): b8 value; u8/c8/i64/symbol/
+    timestamp nonzero; vectors/lists nonempty; everything else true."""
+    t = c.t
+    if t == -T.B8:
+        return bool(int(c.v))
+    if t in (-T.U8, -T.C8, -T.I64, -T.SYMBOL, -T.TIMESTAMP):
+        return int(c.v) != 0
+    if t in (T.B8, T.U8, T.C8, T.I64, T.SYMBOL, T.TIMESTAMP, T.LIST):
+        return len(c) != 0
+    return True
 
 
 def _stub_unary(name):

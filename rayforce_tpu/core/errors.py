@@ -59,3 +59,14 @@ def err_parse(msg: str = "", span=None) -> RayError:
 
 def err_user(msg: str = "") -> RayError:
     return RayError("user", msg)
+
+
+def err_msg(e: "RayError") -> str:
+    """The user-visible error text a `try` handler receives
+    (reference core/error.c err_msg): user errors give their message,
+    everything else the kind name."""
+    if e.kind == "user":
+        return e.msg or ""
+    if e.kind == "os":
+        return e.msg or "os"
+    return e.kind

@@ -16,7 +16,7 @@ import numpy as np
 
 from . import types as T
 from . import symbols, temporal
-from .obj import Obj, to_np
+from .obj import Obj, to_np, enum_domain
 from .errors import RayError
 
 NO_LIMIT = -1
@@ -177,7 +177,7 @@ def raw_fmt(o: Obj, i: int, indent: int, limit: int) -> str:
 
 
 def _enum_sym_id(o: Obj, idx: int):
-    dom = to_np(o.domain)
+    dom = to_np(enum_domain(o))
     if idx == int(T.NULL_I64) or idx < 0 or idx >= len(dom):
         return T.NULL_I64
     return dom[idx]
@@ -284,8 +284,9 @@ def _fmt_dict(o: Obj, indent: int, limit: int, full) -> str:
 
 
 def _fmt_enum(o: Obj, indent: int, limit: int) -> str:
-    from ..ops import compose
-    dom = o.domain
+    # prints 'domain-name#values (enum_fmt_into); ray_key gives the name
+    dom = o.domain if (o.domain is not None and o.domain.t == -T.SYMBOL) \
+        else enum_domain(o)
     n = len(o)
     cap = min(n, TABLE_MAX_HEIGHT) if n >= TABLE_MAX_HEIGHT else n
     ids = to_np(o)[:cap]
@@ -297,12 +298,8 @@ def _fmt_enum(o: Obj, indent: int, limit: int) -> str:
 
 
 def _type_name_of_col(c: Obj) -> str:
-    t = c.t
-    if t in T.UNPARTED_OF:
-        t = T.UNPARTED_OF[t]
-    if t in (T.MAPGROUP, T.MAPFILTER):
-        return "list"
-    return T.TYPE_NAMES.get(t, "list")
+    from ..ops.misc import type_name
+    return type_name(c)
 
 
 def _fmt_table(o: Obj, indent: int, full) -> str:
@@ -355,9 +352,12 @@ def _fmt_table(o: Obj, indent: int, full) -> str:
 
     footer = " %d rows (%d shown) %d columns (%d shown)" % (rows, th,
                                                             ncols_all, tw)
-    if total < len(footer):
-        widths[tw - 1] += len(footer) - total
-        total = len(footer)
+    # The reference's footer obj includes its NUL terminator in len
+    # (str_fmt), which prints as one extra blank: account with +1.
+    flen = len(footer) + 1
+    if total < flen:
+        widths[tw - 1] += flen - total
+        total = flen
         for i in range(tw - 1):
             if widths[i] < 4:
                 total += 4 - widths[i]

@@ -62,6 +62,7 @@ class Interp:
     """Evaluator state: global bindings, lambda frames, query contexts."""
 
     def __init__(self, env):
+        _CURRENT.append(self)
         self.env = env                      # Env (builtin registry)
         self.globals: dict[int, Obj] = {}
         self.frames: list[Frame] = []
@@ -184,6 +185,14 @@ class Interp:
     def eval_str(self, src: str) -> Obj:
         ast = parse(src, self.env)
         return self.eval(ast)
+
+
+_CURRENT: list = []
+
+
+def current_interp():
+    """Most recently created Interp (process-wide; reference runtime_get)."""
+    return _CURRENT[-1] if _CURRENT else None
 
 
 class _Return(Exception):

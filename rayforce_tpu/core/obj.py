@@ -231,6 +231,24 @@ def enum_atom(domain: Obj, idx: int) -> Obj:
 # Host/device transparency
 # ---------------------------------------------------------------------------
 
+def enum_domain(o: Obj) -> "Obj":
+    """Resolve an enum's symbol domain: either held directly (internal) or
+    named by a global symbol (reference enumerate/compose.c:389)."""
+    d = o.domain
+    if d is None:
+        raise err_type("enum without domain")
+    if d.t == T.SYMBOL:
+        return d
+    if d.t == -T.SYMBOL:
+        from .interp import current_interp
+        ip = current_interp()
+        dom = ip.resolve(int(d.v)) if ip else None
+        if dom is None or dom.t != T.SYMBOL:
+            raise err_type("enum domain not resolvable")
+        return dom
+    raise err_type("bad enum domain")
+
+
 def to_np(o: Obj) -> np.ndarray:
     """Materialize the vector payload as a host numpy array."""
     v = o.v

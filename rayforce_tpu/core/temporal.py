@@ -9,7 +9,15 @@ from __future__ import annotations
 # Civil-date <-> day-count (Howard Hinnant's algorithm, public domain idiom).
 
 
+EPOCH_2000_DAYS = 10957  # days from 1970.01.01 to 2000.01.01
+
+
 def days_from_civil(y: int, m: int, d: int) -> int:
+    """Days since 2000.01.01."""
+    return _days_from_civil_1970(y, m, d) - EPOCH_2000_DAYS
+
+
+def _days_from_civil_1970(y: int, m: int, d: int) -> int:
     y -= m <= 2
     era = (y if y >= 0 else y - 399) // 400
     yoe = y - era * 400
@@ -19,6 +27,8 @@ def days_from_civil(y: int, m: int, d: int) -> int:
 
 
 def civil_from_days(z: int):
+    """(y, m, d) from days since 2000.01.01."""
+    z += EPOCH_2000_DAYS
     z += 719468
     era = (z if z >= 0 else z - 146096) // 146097
     doe = z - era * 146097
@@ -39,7 +49,7 @@ def time_parts(ms: int):
 
 
 def ts_parts(ns: int):
-    """(y, mo, d, h, mi, s, nanos) from epoch nanoseconds."""
+    """(y, mo, d, h, mi, s, nanos) from ns since 2000.01.01."""
     days, rem = divmod(ns, 86400_000_000_000)
     y, mo, d = civil_from_days(days)
     secs, nanos = divmod(rem, 1_000_000_000)

@@ -90,10 +90,13 @@ def ray_table(names: Obj, cols: Obj) -> Obj:
             raise err_length("table column length mismatch")
     if n is None:
         n = 1
-    # broadcast atoms to columns
+    # broadcast atoms to columns; enum columns materialize to symbols
     for i, c in enumerate(colv):
         if c.t < 0:
             colv[i] = take_n(c, n)
+        if colv[i].t == T.ENUM:
+            from .items import ray_value
+            colv[i] = ray_value(colv[i])
     return table(names, colv)
 
 
@@ -174,8 +177,8 @@ def ray_concat(a: Obj, b: Obj) -> Obj:
     if a.t == T.ENUM and b.t == T.ENUM and a.domain is b.domain:
         return Obj(T.ENUM, np.concatenate([to_np(a), to_np(b)]),
                    domain=a.domain)
-    # mixed types -> list
-    return list_(list(_elems(a)) + list(_elems(b)))
+    # incompatible vector types -> 2-element list of the operands
+    return list_([a, b])
 
 
 def _elems(o: Obj):
@@ -200,6 +203,11 @@ def ray_distinct(o: Obj) -> Obj:
     if o.t == T.GUID:
         _, idx = np.unique(a, axis=0, return_index=True)
         return Obj(T.GUID, a[np.sort(idx)])
+    if o.t in (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
+               T.TIMESTAMP):
+        # integer distinct scans a dense bitmap -> ascending value order
+        # (reference index_distinct_*, index.c:437-671)
+        return Obj(o.t, np.unique(a), domain=o.domain)
     _, idx = np.unique(a, return_index=True)
     out = a[np.sort(idx)]
     return Obj(o.t, out, domain=o.domain)
@@ -230,16 +238,26 @@ def ray_group(o: Obj) -> Obj:
     return dict_(keys, list_(groups))
 
 
-def ray_enum(domain: Obj, vals: Obj) -> Obj:
-    if domain.t != T.SYMBOL:
-        raise err_type("enum domain must be symbols")
+def ray_enum(name: Obj, vals: Obj, interp=None) -> Obj:
+    """(enum 'global-name syms): the domain is a NAMED global symbol
+    vector; the enum stores indices into it (compose.c ray_enum:389,
+    enumerate). The name indirection is what makes shared sym-files work
+    for splayed/parted tables."""
+    if name.t != -T.SYMBOL:
+        raise err_type("enum domain must be a symbol name")
+    if vals.t not in (T.SYMBOL, -T.SYMBOL):
+        raise err_type("enum values must be symbols")
+    if interp is None:
+        from ..core.interp import current_interp
+        interp = current_interp()
+    domain = interp.resolve(int(name.v)) if interp else None
+    if domain is None or domain.t != T.SYMBOL:
+        raise err_type("enum domain global must be a symbol vector")
     if vals.t == -T.SYMBOL:
         ids = _enum_ids(domain, np.asarray([vals.v]))
-        return Obj(-T.ENUM, np.int64(ids[0]), domain=domain)
-    if vals.t != T.SYMBOL:
-        raise err_type("enum values must be symbols")
+        return Obj(-T.ENUM, np.int64(ids[0]), domain=name)
     ids = _enum_ids(domain, to_np(vals))
-    return mk_enum(domain, ids)
+    return Obj(T.ENUM, np.asarray(ids, dtype=np.int64), domain=name)
 
 
 def _enum_ids(domain: Obj, sym_ids: np.ndarray) -> np.ndarray:
@@ -319,14 +337,22 @@ def ray_remove(o: Obj, idx: Obj) -> Obj:
     return gather(o, keep)
 
 
-def ray_split(sep: Obj, o: Obj) -> Obj:
+def ray_split(o: Obj, sep: Obj) -> Obj:
+    """(split str sep); splitting a vector by indices = cut
+    (compose.c ray_split:1345)."""
     from ..core.obj import str_of
-    if o.t == T.C8:
+    if o.t == T.C8 or o.t == -T.SYMBOL:
         s = str_of(o)
-        parts = s.split(str_of(sep) if sep.t == T.C8 else chr(int(sep.v)))
+        if sep.t == T.C8:
+            d = str_of(sep)
+        elif sep.t == -T.C8:
+            d = chr(int(sep.v))
+        else:
+            raise err_type("split separator must be chars")
+        parts = s.split(d)
         return list_([string(p) for p in parts])
-    if o.t == T.LIST:
-        return list_([ray_split(sep, e) for e in o.v])
+    if o.t > 0 and o.t != T.LIST:
+        return ray_cut(o, sep)
     raise err_type("split needs a string")
 
 

@@ -64,10 +64,8 @@ def ray_where(o: Obj) -> Obj:
     if o.t in T.UNPARTED_OF:
         from .parted import parted_where
         return parted_where(o)
-    if o.t == -T.B8:
-        return Obj(T.I64, np.arange(1 if int(o.v) else 0, dtype=np.int64))
     if o.t != T.B8:
-        raise err_type("where needs booleans")
+        raise err_type("where needs a boolean vector")
     return Obj(T.I64, np.nonzero(to_np(o))[0].astype(np.int64))
 
 
@@ -81,17 +79,14 @@ def ray_at(o: Obj, k: Obj) -> Obj:
                 raise err_index("no such column")
             return c
         if k.t == T.SYMBOL:
-            names, cols = o.v
+            # (at t [cols]) -> LIST of column values (oracle-pinned)
             sel = []
-            outn = []
             for sid in to_np(k):
                 c = col_by_name(o, symbols.name_of(int(sid)))
                 if c is None:
                     raise err_index("no such column")
                 sel.append(c)
-                outn.append(int(sid))
-            return table(Obj(T.SYMBOL, np.asarray(outn, dtype=np.int64)),
-                         sel)
+            return list_(sel)
         if k.t < 0:  # row -> dict
             return at_idx(o, int(k.v))
         idx = to_np(k).astype(np.int64)
@@ -140,9 +135,12 @@ def ray_key(o: Obj) -> Obj:
     if o.t == T.TABLE:
         return o.v[0]
     if o.t == T.ENUM:
-        return o.domain
+        if o.domain is not None and o.domain.t == -T.SYMBOL:
+            return o.domain
+        from ..core.obj import enum_domain
+        return enum_domain(o)
     if o.t > 0:
-        return Obj(T.I64, np.arange(len(o), dtype=np.int64))
+        return o  # key of a plain vector is itself (oracle-pinned)
     raise err_type("key on atom")
 
 
@@ -152,14 +150,16 @@ def ray_value(o: Obj) -> Obj:
     if o.t == T.TABLE:
         return list_(o.v[1])
     if o.t == T.ENUM:
-        dom = to_np(o.domain)
+        from ..core.obj import enum_domain
+        dom = to_np(enum_domain(o))
         ids = to_np(o)
         safe = np.where((ids >= 0) & (ids < len(dom)), ids, 0)
         out = dom[safe]
         out = np.where(ids == T.NULL_I64, T.NULL_I64, out)
         return Obj(T.SYMBOL, out.astype(np.int64))
     if o.t == -T.ENUM:
-        dom = to_np(o.domain)
+        from ..core.obj import enum_domain
+        dom = to_np(enum_domain(o))
         i = int(o.v)
         sid = int(dom[i]) if 0 <= i < len(dom) else T.NULL_I64
         return Obj(-T.SYMBOL, np.int64(sid))
@@ -233,7 +233,9 @@ def _comparable(o: Obj) -> np.ndarray:
 
 
 def ray_within(x: Obj, rng: Obj) -> Obj:
-    if rng.t < 0 or len(rng) != 2:
+    if rng.t <= 0 or rng.t == T.LIST:
+        raise err_type("within needs a typed 2-element vector")
+    if len(rng) != 2:
         raise err_length("within needs a 2-element range")
     lo = at_idx(rng, 0)
     hi = at_idx(rng, 1)
@@ -251,7 +253,6 @@ def ray_sect(a: Obj, b: Obj) -> Obj:
     mask = ray_in(a, b)
     if mask.t < 0:
         return a if int(mask.v) else take_n(a, 0)
-    from .filter import apply_indices
     idx = np.nonzero(to_np(mask))[0].astype(np.int64)
     return gather(a, idx)
 
@@ -280,10 +281,9 @@ def ray_bin(hay: Obj, needles: Obj) -> Obj:
     a = to_np(hay)
     if needles.t < 0:
         i = int(np.searchsorted(a, needles.v, side="right")) - 1
-        return Obj(-T.I64, np.int64(i) if i >= 0 else T.NULL_I64)
+        return Obj(-T.I64, np.int64(i))
     n = to_np(needles)
     idx = np.searchsorted(a, n, side="right").astype(np.int64) - 1
-    idx = np.where(idx < 0, T.NULL_I64, idx)
     return Obj(T.I64, idx)
 
 

@@ -74,80 +74,127 @@ def ray_apply(interp, f: Obj, args: list) -> Obj:
 
 
 def ray_fold(interp, f: Obj, seqs: list) -> Obj:
-    """(fold f xs) / (fold f init xs)."""
-    if len(seqs) == 1:
-        xs = seqs[0]
-        if xs.t < 0:
-            return xs
-        n = len(xs)
-        if n == 0:
-            return NULL_OBJ
-        acc = at_idx(xs, 0)
-        for i in range(1, n):
-            acc = _call(interp, f, [acc, at_idx(xs, i)])
-        return acc
-    if len(seqs) == 2:
-        acc, xs = seqs
-        if xs.t < 0:
-            return _call(interp, f, [acc, xs])
-        for i in range(len(xs)):
-            acc = _call(interp, f, [acc, at_idx(xs, i)])
-        return acc
-    raise err_arity("fold")
+    """Reference fold (iter.c ray_fold): unary f maps; binary f loops ONLY
+    over LIST operands (typed vectors are atomic operands); with two lists
+    zips pairwise into an accumulator."""
+    if f.t == T.UNARY:
+        if len(seqs) != 1:
+            raise err_arity("fold")
+        return ray_map(interp, f, seqs)
+    if f.t == T.LAMBDA:
+        # reference lambda-fold (iter.c ray_fold TYPE_LAMBDA): n==1 reduces
+        # any sequence; n==2 seeds from x[0]'s first element and walks x[1]
+        n = len(seqs)
+        if n == 1:
+            x = seqs[0]
+            ln = len(x) if x.t >= 0 else 1
+            if ln == 0:
+                return list_([])
+            acc = at_idx(x, 0) if x.t >= 0 else x
+            for i in range(1, ln):
+                acc = _call(interp, f, [acc, at_idx(x, i)])
+            return acc
+        if n == 2:
+            x, y = seqs
+            ln = len(x) if x.t >= 0 else 1
+            if ln == 0:
+                return list_([])
+            acc = at_idx(x, 0) if x.t >= 0 else x
+            for i in range(1, ln):
+                acc = _call(interp, f, [acc, at_idx(y, i)])
+            return acc
+        raise err_arity("fold")
+    if f.t == T.BINARY or f.t == T.VARY:
+        if len(seqs) < 2:
+            raise err_arity("fold")
+        x, y = seqs[0], seqs[1]
+        xl = x.t == T.LIST
+        yl = y.t == T.LIST
+        if (xl and y.t > 0 and not yl) or (yl and x.t > 0 and not xl):
+            lx = len(x)
+            if lx != len(y):
+                raise err_arity("fold length mismatch")
+            if lx == 0:
+                return list_([])
+            acc = _call(interp, f, [at_idx(x, 0), at_idx(y, 0)])
+            for i in range(1, lx):
+                acc = _call(interp, f, [acc, at_idx(y, i)])
+            return acc
+        if xl:
+            if len(x) == 0:
+                return y
+            acc = _call(interp, f, [at_idx(x, 0), y])
+            for i in range(1, len(x)):
+                acc = _call(interp, f, [acc, at_idx(x, i)])
+            return acc
+        if yl:
+            if len(y) == 0:
+                return x
+            acc = _call(interp, f, [x, at_idx(y, 0)])
+            for i in range(1, len(y)):
+                acc = _call(interp, f, [acc, at_idx(y, i)])
+            return acc
+        return _call(interp, f, [x, y])
+    raise err_type("fold needs a function")
 
 
 def ray_scan(interp, f: Obj, seqs: list) -> Obj:
-    if len(seqs) == 1:
-        xs = seqs[0]
-        if xs.t < 0:
-            return xs
-        n = len(xs)
-        out = []
+    """Like fold but collecting intermediate accumulators."""
+    if f.t == T.UNARY:
+        return ray_map(interp, f, seqs)
+    if len(seqs) < 2:
+        raise err_arity("scan")
+    x, y = seqs[0], seqs[1]
+    xl = x.t == T.LIST
+    yl = y.t == T.LIST
+    out = []
+    if (xl and y.t > 0 and not yl) or (yl and x.t > 0 and not xl):
+        lx = len(x)
+        if lx != len(y):
+            raise err_arity("scan length mismatch")
         acc = None
-        for i in range(n):
-            x = at_idx(xs, i)
-            acc = x if acc is None else _call(interp, f, [acc, x])
+        for i in range(lx):
+            acc = _call(interp, f, [at_idx(x, i) if acc is None else acc,
+                                    at_idx(y, i)])
             out.append(acc)
-        return unify_list(out)
-    if len(seqs) == 2:
-        acc, xs = seqs
-        out = []
-        for i in range(len(xs)):
-            acc = _call(interp, f, [acc, at_idx(xs, i)])
+        return list_(out)
+    if xl:
+        acc = y
+        for i in range(len(x)):
+            acc = _call(interp, f, [at_idx(x, i) if i == 0 else acc,
+                                    y if i == 0 else at_idx(x, i)])
             out.append(acc)
-        return unify_list(out)
-    raise err_arity("scan")
+        return list_(out)
+    if yl:
+        acc = x
+        for i in range(len(y)):
+            acc = _call(interp, f, [acc, at_idx(y, i)])
+            out.append(acc)
+        return list_(out)
+    return _call(interp, f, [x, y])
 
 
 def ray_fold_right(interp, f: Obj, seqs: list) -> Obj:
-    if len(seqs) == 1:
-        xs = seqs[0]
-        n = len(xs)
-        if n == 0:
-            return NULL_OBJ
-        acc = at_idx(xs, n - 1)
-        for i in range(n - 2, -1, -1):
-            acc = _call(interp, f, [at_idx(xs, i), acc])
+    if len(seqs) < 2:
+        raise err_arity("fold-right")
+    x, y = seqs[0], seqs[1]
+    if y.t == T.LIST:
+        acc = x
+        for i in range(len(y) - 1, -1, -1):
+            acc = _call(interp, f, [at_idx(y, i), acc])
         return acc
-    acc, xs = seqs
-    for i in range(len(xs) - 1, -1, -1):
-        acc = _call(interp, f, [at_idx(xs, i), acc])
-    return acc
+    return _call(interp, f, [x, y])
 
 
 def ray_scan_right(interp, f: Obj, seqs: list) -> Obj:
-    if len(seqs) == 1:
-        xs = seqs[0]
-        out = []
-        acc = None
-        for i in range(len(xs) - 1, -1, -1):
-            x = at_idx(xs, i)
-            acc = x if acc is None else _call(interp, f, [x, acc])
+    if len(seqs) < 2:
+        raise err_arity("scan-right")
+    x, y = seqs[0], seqs[1]
+    out = []
+    if y.t == T.LIST:
+        acc = x
+        for i in range(len(y) - 1, -1, -1):
+            acc = _call(interp, f, [at_idx(y, i), acc])
             out.append(acc)
         return unify_list(list(reversed(out)))
-    acc, xs = seqs
-    out = []
-    for i in range(len(xs) - 1, -1, -1):
-        acc = _call(interp, f, [at_idx(xs, i), acc])
-        out.append(acc)
-    return unify_list(list(reversed(out)))
+    return _call(interp, f, [x, y])

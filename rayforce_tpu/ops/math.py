@@ -45,6 +45,10 @@ def ray_mod(a, b):
 
 
 def ray_xbar(a, b):
+    from ..core import types as _T
+    if abs(a.t) in _T.TEMPORAL or abs(b.t) in _T.TEMPORAL:
+        from ..core.errors import err_type as _et
+        raise _et("xbar on temporal")
     return arith("xbar", a, b)
 
 

@@ -52,23 +52,37 @@ def ray_rc(o: Obj) -> Obj:
 
 
 def ray_meta(o: Obj) -> Obj:
-    """Per-column type/len/attrs/mem dict for tables (misc.c:245)."""
+    """meta of a table = table [name type mmod attrs] with one row per
+    column (misc.c meta_table); other types get a small info dict."""
+    from ..core.obj import table as mk_table
     if o.t == T.TABLE:
         names, cols = o.v
-        rows = []
-        ks = vec_sym(["type", "count", "attrs", "mem"])
-        vals = []
-        for c in cols:
-            tname = sym(type_name(c))
-            cnt = Obj(-T.I64, np.int64(len(c) if c.t >= 0 else 1))
-            attrs = Obj(-T.I64, np.int64(c.attrs))
-            mem = Obj(-T.I64, np.int64(_mem_of(c)))
-            vals.append(dict_(ks, list_([tname, cnt, attrs, mem])))
-        return dict_(names, list_(vals))
-    return dict_(vec_sym(["type", "count", "mem"]),
+        tnames = vec_sym([type_name(c) for c in cols])
+        n = len(cols)
+        # mmod is a heap-internal byte; host objects report 255
+        mmod = Obj(T.I64, np.full(n, 255, dtype=np.int64))
+        attrs = Obj(T.I64, np.asarray([names.attrs] * n, dtype=np.int64))
+        return mk_table(vec_sym(["name", "type", "mmod", "attrs"]),
+                        [names, tnames, mmod, attrs])
+    if o.t == T.DICT:
+        k, v = o.v
+        return dict_(vec_sym(["type", "len", "key_type", "val_type",
+                              "keys"]),
+                     list_([sym(type_name(o)),
+                            Obj(-T.I64, np.int64(len(k))),
+                            sym(type_name(k)),
+                            sym(type_name(v)),
+                            k]))
+    if o.t >= 0 and o.t != T.LIST:
+        return dict_(vec_sym(["type", "len", "mmod", "attrs"]),
+                     list_([sym(type_name(o)),
+                            Obj(-T.I64, np.int64(len(o))),
+                            Obj(-T.I64, np.int64(255)),
+                            Obj(-T.I64, np.int64(o.attrs))]))
+    return dict_(vec_sym(["type", "mmod", "attrs"]),
                  list_([sym(type_name(o)),
-                        Obj(-T.I64, np.int64(len(o) if o.t >= 0 else 1)),
-                        Obj(-T.I64, np.int64(_mem_of(o)))]))
+                        Obj(-T.I64, np.int64(255)),
+                        Obj(-T.I64, np.int64(o.attrs))]))
 
 
 def _mem_of(o: Obj) -> int:

@@ -94,7 +94,8 @@ def _table_order(tbl: Obj, by: Obj, desc: bool) -> np.ndarray:
     return order.astype(np.int64)
 
 
-def ray_xasc(by: Obj, tbl: Obj) -> Obj:
+def ray_xasc(tbl: Obj, by: Obj) -> Obj:
+    """(xasc table 'col) / (xasc table [cols]) (order.c:246)."""
     if tbl.t != T.TABLE:
         raise err_type("xasc needs a table")
     order = _table_order(tbl, by, False)
@@ -102,7 +103,7 @@ def ray_xasc(by: Obj, tbl: Obj) -> Obj:
     return table(names, [gather(c, order) for c in cols])
 
 
-def ray_xdesc(by: Obj, tbl: Obj) -> Obj:
+def ray_xdesc(tbl: Obj, by: Obj) -> Obj:
     if tbl.t != T.TABLE:
         raise err_type("xdesc needs a table")
     order = _table_order(tbl, by, True)
@@ -110,10 +111,10 @@ def ray_xdesc(by: Obj, tbl: Obj) -> Obj:
     return table(names, [gather(c, order) for c in cols])
 
 
-def ray_xrank(n: Obj, o: Obj) -> Obj:
-    """n equal-frequency buckets by rank."""
-    if n.t >= 0:
-        raise err_type("xrank bucket count must be an atom")
+def ray_xrank(o: Obj, n: Obj) -> Obj:
+    """(xrank data n): n equal-frequency buckets by rank (order.c:598)."""
+    if n.t >= 0 or -n.t not in (T.I16, T.I32, T.I64, T.U8):
+        raise err_type("xrank bucket count must be an integer atom")
     buckets = int(n.v)
     r = to_np(ray_rank(o))
     ln = len(r)

@@ -218,8 +218,9 @@ CMP_CLASS = {
 def _cmp_key(o: Obj):
     """Comparable numpy value(s) + class tag."""
     t = abs(o.t)
-    if t == T.ENUM:
-        dom = to_np(o.domain)
+    if abs(t) == T.ENUM:
+        from ..core.obj import enum_domain
+        dom = to_np(enum_domain(o))
         ids = to_np(o) if o.t > 0 else np.asarray(o.v)
         safe = np.where((ids >= 0) & (ids < len(dom)), ids, 0)
         vals = dom[safe]

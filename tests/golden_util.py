@@ -15,7 +15,7 @@ import os
 import pytest
 
 from rayforce_tpu import Runtime
-from rayforce_tpu.core.errors import RayError
+from rayforce_tpu.core.errors import RayError, err_msg
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -34,7 +34,7 @@ def run_case(stmts, expect):
             result = rt.eval_str(s)
         got = rt.format_result(result)
     except RayError as e:
-        got = "ERROR:" + e.kind
+        got = "ERROR:" + err_msg(e)
     except NotImplementedError as e:
         pytest.skip(f"nyi: {e}")
     assert got == expect, f"got {got!r}, want {expect!r}"

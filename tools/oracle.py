@@ -60,31 +60,29 @@ def run_case(stmts: list[str]) -> str:
         lines.append(st)
     final = stmts[-1]
     lines.append(
-        '(println "%% " (try (format {expr}) (fn [__e] '
-        '(concat "RAYERR>" (format __e)))))'.replace("%%", "%")
-        .format(expr=final))
+        '(show (try (format {expr}) (fn [__e] '
+        '(concat "RAYERR>" __e))))'.format(expr=final))
     src = "\n".join(lines) + "\n"
     with tempfile.NamedTemporaryFile("w", suffix=".rfl", delete=False) as f:
         f.write(src)
         path = f.name
     try:
         p = subprocess.run([ORACLE_BIN, "-f", path], capture_output=True,
-                           text=True, timeout=120)
-        out = p.stdout
+                           timeout=120)
+        out = p.stdout.decode("utf-8", errors="replace")
+        if out.endswith("\n"):
+            out = out[:-1]
+        if out.startswith('"') and out.endswith('"') and len(out) >= 2:
+            out = out[1:-1]
+        if p.returncode != 0:
+            txt = ANSI_RE.sub("", out + p.stderr.decode("utf-8",
+                                                        errors="replace"))
+            m = re.search(r"Error:\s*(\w+)", txt)
+            return "ERROR:" + (m.group(1) if m else "crash")
         if "RAYERR>" in out:
             # (format err) yields just the kind name, e.g. "type"
             txt = unescape(out.split("RAYERR>", 1)[1]).strip()
             return "ERROR:" + txt
-        if p.returncode != 0:
-            txt = ANSI_RE.sub("", out + p.stderr)
-            m = re.search(r"Error:\s*(\w+)", txt)
-            return "ERROR:" + (m.group(1) if m else "crash")
-        # Output is VALUE + " " (from the "% " pattern) + println's newline:
-        # strip exactly those two suffix chars.
-        if out.endswith("\n"):
-            out = out[:-1]
-        if out.endswith(" "):
-            out = out[:-1]
         return unescape(out)
     finally:
         os.unlink(path)
