@@ -347,6 +347,14 @@ def build_env(interp_holder: dict) -> Env:
     R("scan", V, v_scan)
     R("scan-left", V, v_scan)
     R("scan-right", V, v_scan_right)
+    from ..ops import join as jn
+    R("left-join", V, jn.ray_left_join)
+    R("inner-join", V, jn.ray_inner_join)
+    R("asof-join", V, jn.ray_asof_join)
+    R("window-join", V,
+      lambda args: jn.ray_window_join(interp(), args, 0))
+    R("window-join1", V,
+      lambda args: jn.ray_window_join(interp(), args, 1))
     R("args", V, _fn_args(interp_holder))
     R("if", V, sf_if, FN_SPECIAL)
     R("return", V, fn_return)

@@ -15,7 +15,7 @@ import numpy as np
 from ..core import types as T
 from ..core.obj import Obj, to_np, list_
 from ..core.errors import err_type
-from .group import GroupIndex
+from .group import GroupIndex, WindowIndex
 from .math import SUM_TYPE
 from .vops import is_null_np
 
@@ -27,7 +27,9 @@ def _sorted_layout(index: GroupIndex):
     return order, bounds
 
 
-def grouped_aggregate(name: str, col: Obj, index: GroupIndex) -> Obj:
+def grouped_aggregate(name: str, col: Obj, index) -> Obj:
+    if isinstance(index, WindowIndex):
+        return window_aggregate(name, col, index)
     if col.t == T.MAPFILTER:
         from .filter import filter_collect
         col = filter_collect(col.v[0], col.v[1])
@@ -144,3 +146,92 @@ def aggr_collect(col: Obj, index: GroupIndex) -> Obj:
             out.append(gather(col, np.sort(ids)))
         return list_(out)
     raise err_type("bad group index")
+
+
+def _reduceat_ranges(ufunc, a: np.ndarray, li, ri, empty_val):
+    """Reduce a[li[i]:ri[i]+1] per row via interleaved reduceat."""
+    n = len(li)
+    out = np.full(n, empty_val, dtype=a.dtype if a.dtype != np.bool_
+                  else np.int64)
+    ok = (li <= ri) & (li >= 0)
+    if not ok.any():
+        return out, ok
+    li_ok = li[ok]
+    ri_ok = ri[ok]
+    bounds = np.empty(2 * len(li_ok), dtype=np.int64)
+    bounds[0::2] = li_ok
+    bounds[1::2] = ri_ok + 1
+    # reduceat quirk: when bounds[i] == bounds[i+1] the result is
+    # a[bounds[i]]; our even slots always have li <= ri so slices are
+    # non-empty. Final bound pair may end at len(a): clamp and fix.
+    last_fix = bounds[-1] >= len(a)
+    bounds_c = np.clip(bounds, 0, len(a) - 1)
+    red = ufunc.reduceat(a, bounds_c)[0::2]
+    if last_fix and len(li_ok) and li_ok[-1] == len(a) - 1:
+        red[-1] = a[-1]
+    out[ok] = red
+    return out, ok
+
+
+def window_aggregate(name: str, col: Obj, w: WindowIndex) -> Obj:
+    """Aggregate right-table column over per-left-row windows."""
+    from ..core.obj import atom_null
+    t = col.t
+    a = to_np(col)
+    li, ri, valid = w.li, w.ri, w.valid
+    ok = valid & (li <= ri) & (li >= 0)
+    if name == "count":
+        out = np.where(ok, ri - li + 1, 0).astype(np.int64)
+        return Obj(T.I64, out)
+    if name in ("first", "last"):
+        idx = np.where(ok, li if name == "first" else ri, 0)
+        from .compose import gather
+        g = gather(col, idx.astype(np.int64))
+        if (~ok).any():
+            ga = to_np(g).copy()
+            nullv = T.NULL_BY_TYPE.get(t if t != T.ENUM else T.SYMBOL, 0)
+            ga[~ok] = nullv
+            g = Obj(g.t, ga, domain=g.domain)
+        return g
+    nulls = is_null_np(t, a)
+    if name == "sum":
+        if t not in SUM_TYPE:
+            raise err_type("sum on non-numeric")
+        rt = SUM_TYPE[t]
+        vals = np.where(nulls, 0, a).astype(
+            np.float64 if t == T.F64 else np.int64)
+        csum = np.concatenate([[0], np.cumsum(vals)])
+        out = np.where(ok, csum[np.clip(ri, -1, None) + 1]
+                       - csum[np.clip(li, 0, None)], 0)
+        return Obj(rt, out.astype(T.DTYPE[rt]))
+    if name == "avg":
+        vals = np.where(nulls, 0.0, a.astype(np.float64))
+        cnts = (~nulls).astype(np.float64)
+        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        ccnt = np.concatenate([[0.0], np.cumsum(cnts)])
+        s = csum[np.clip(ri, -1, None) + 1] - csum[np.clip(li, 0, None)]
+        c = ccnt[np.clip(ri, -1, None) + 1] - ccnt[np.clip(li, 0, None)]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = s / c
+        out = np.where(ok & (c > 0), out, T.NULL_F64)
+        return Obj(T.F64, out)
+    if name in ("min", "max"):
+        if t == T.F64:
+            init = np.inf if name == "min" else -np.inf
+            vals = np.where(nulls, init, a)
+            red, okm = _reduceat_ranges(
+                np.minimum if name == "min" else np.maximum, vals, li, ri,
+                init)
+            out = np.where(ok & okm, red, T.NULL_F64)
+            return Obj(T.F64, out)
+        base = {T.DATE: T.I32, T.TIME: T.I32, T.TIMESTAMP: T.I64}.get(t, t)
+        info = np.iinfo(T.DTYPE[base])
+        init = info.max if name == "min" else info.min
+        vals = np.where(nulls, init, a.astype(np.int64))
+        red, okm = _reduceat_ranges(
+            np.minimum if name == "min" else np.maximum, vals, li, ri,
+            init)
+        nullv = T.NULL_BY_TYPE.get(t, T.NULL_I64)
+        out = np.where(ok & okm, red, np.int64(nullv))
+        return Obj(t, out.astype(T.DTYPE[t]))
+    raise err_type(f"window aggregate {name} nyi")

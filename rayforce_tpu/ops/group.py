@@ -94,6 +94,19 @@ def group_multi(cols: list) -> GroupIndex:
     return GroupIndex(gids, len(uniq), first_idx[order].astype(np.int64))
 
 
-def mapgroup(col: Obj, index: GroupIndex) -> Obj:
+class WindowIndex:
+    """Per-left-row [li, ri] ranges into a sorted right table
+    (reference INDEX_TYPE_WINDOW, aggr.c:133-158). Aggregates over a
+    MAPGROUP with a WindowIndex reduce each range."""
+    __slots__ = ("li", "ri", "valid", "n")
+
+    def __init__(self, li, ri, valid):
+        self.li = li
+        self.ri = ri
+        self.valid = valid
+        self.n = len(li)
+
+
+def mapgroup(col: Obj, index) -> Obj:
     """Lazy grouped column (reference TYPE_MAPGROUP)."""
     return Obj(T.MAPGROUP, (col, index))
