@@ -347,6 +347,11 @@ def build_env(interp_holder: dict) -> Env:
     R("scan", V, v_scan)
     R("scan-left", V, v_scan)
     R("scan-right", V, v_scan_right)
+    from ..ops import update as upd
+    R("insert", V, lambda args: upd.ray_insert(interp(), args))
+    R("upsert", V, lambda args: upd.ray_upsert(interp(), args))
+    R("alter", V, lambda args: upd.ray_alter(interp(), args))
+    R("modify", V, lambda args: upd.ray_modify(interp(), args))
     from ..ops import join as jn
     R("left-join", V, jn.ray_left_join)
     R("inner-join", V, jn.ray_inner_join)

@@ -81,6 +81,13 @@ def select_parts(interp, d: Obj):
     if from_ast is None:
         raise err_domain("select needs from:")
     src = collect_lazy(interp.eval(from_ast))
+    target_sid = None
+    if src.t == -T.SYMBOL:
+        # from: 'name -> operate on the named global (update writes back)
+        target_sid = int(src.v)
+        src = interp.resolve(target_sid)
+        if src is None:
+            raise err_domain("from: global not found")
     if src.t != T.TABLE:
         raise err_type("from: must be a table")
 
@@ -138,7 +145,8 @@ def select_parts(interp, d: Obj):
     if take_ast is not None:
         tv = collect_lazy(interp.eval(take_ast))
         take_limit = int(tv.v)
-    return src, outs, ids, gindex, by_names, by_cols, take_limit
+    return (src, outs, ids, gindex, by_names, by_cols, take_limit,
+            target_sid)
 
 
 def _lazy_table(src: Obj, ids, gindex) -> Obj:
@@ -154,7 +162,7 @@ def _lazy_table(src: Obj, ids, gindex) -> Obj:
 
 def ray_select(interp, arg) -> Obj:
     d = collect_lazy(interp.eval(arg))
-    src, outs, ids, gindex, by_names, by_cols, lim = \
+    (src, outs, ids, gindex, by_names, by_cols, lim, _tsid) = \
         select_parts(interp, d)
 
     lazy = _lazy_table(src, ids, gindex)
@@ -229,7 +237,7 @@ def ray_update(interp, arg) -> Obj:
     """update: select-shaped dict applying grouped/filtered column writes
     copy-on-write (update.c:753-1000)."""
     d = collect_lazy(interp.eval(arg))
-    src, outs, ids, gindex, by_names, by_cols, lim = \
+    (src, outs, ids, gindex, by_names, by_cols, lim, tsid) = \
         select_parts(interp, d)
     names, cols = src.v
     new_cols = list(cols)
@@ -255,7 +263,10 @@ def ray_update(interp, arg) -> Obj:
                 new_cols.append(col)
     finally:
         interp.qctx.pop()
-    return table(Obj(T.SYMBOL, name_ids.astype(np.int64)), new_cols)
+    out = table(Obj(T.SYMBOL, name_ids.astype(np.int64)), new_cols)
+    if tsid is not None:
+        interp.globals[tsid] = out
+    return out
 
 
 def _broadcast_groups(v: Obj, gindex: GroupIndex, ids, total, cols, hit,
