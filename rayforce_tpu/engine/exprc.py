@@ -1,0 +1,290 @@
+"""AST -> JAX expression compiler for the device select path.
+
+Compiles a Rayfall where-clause / output expression over table columns into
+a jnp-traceable function. Supports the elementwise operator core
+(arithmetic, comparisons, and/or/not, in/within) with the engine's null
+semantics, and recognizes top-level aggregates (sum/avg/min/max/count/
+first/last) so select can fuse filter+group+aggregate into device kernels.
+
+Unsupported constructs return None and the caller falls back to the host
+interpreter — behavior is always identical, only the execution engine
+differs.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import types as T
+from ..core import symbols
+from ..core.obj import Obj, to_np, col_by_name, enum_domain
+from ..core.interp import Builtin
+
+AGG_NAMES = {"sum", "avg", "min", "max", "count", "first", "last"}
+
+ARITH = {"+": "add", "-": "sub", "*": "mul", "/": "idiv", "div": "fdiv",
+         "%": "mod", "xbar": "xbar"}
+CMPS = {"==": "eq", "!=": "ne", "<": "lt", ">": "gt", "<=": "le",
+        ">=": "ge"}
+LOGIC = {"and", "or", "not"}
+
+
+class ColRef:
+    __slots__ = ("name", "col", "slot")
+
+    def __init__(self, name, col, slot):
+        self.name = name
+        self.col = col
+        self.slot = slot
+
+
+class Compiled:
+    """A compiled elementwise expression: fn(cols...) -> jnp array, plus
+    the column inputs it consumes and the logical result type."""
+
+    def __init__(self, fn, cols: list, rtype: int):
+        self.fn = fn
+        self.cols = cols
+        self.rtype = rtype
+
+
+def _builtin_name(o: Obj):
+    if o.t in (T.UNARY, T.BINARY, T.VARY) and isinstance(o.v, Builtin):
+        return o.v.name
+    return None
+
+
+class _Compiler:
+    def __init__(self, tbl: Obj):
+        self.tbl = tbl
+        self.cols: list[ColRef] = []
+        self.by_name: dict[int, ColRef] = {}
+
+    def colref(self, sid: int):
+        if sid in self.by_name:
+            return self.by_name[sid]
+        col = col_by_name(self.tbl, symbols.name_of(sid))
+        if col is None:
+            return None
+        if col.t in (T.LIST, T.C8, T.GUID) or col.t in T.UNPARTED_OF:
+            return None
+        ref = ColRef(sid, col, len(self.cols))
+        self.cols.append(ref)
+        self.by_name[sid] = ref
+        return ref
+
+    # returns (builder, logical_type) where builder(args)->jnp expr,
+    # or None when uncompilable
+    def compile(self, ast: Obj):
+        t = ast.t
+        if t == -T.SYMBOL:
+            if ast.attrs & 1:  # quoted symbol literal
+                sid = int(ast.v)
+                return (lambda env, s=sid: jnp.int64(s)), T.SYMBOL
+            ref = self.colref(int(ast.v))
+            if ref is None:
+                return None
+            slot = ref.slot
+            ct = ref.col.t
+            if ct == T.ENUM:
+                # enum -> symbol ids via its domain (device gather)
+                dom = to_np(enum_domain(ref.col))
+                dom_d = jnp.asarray(dom)
+                return (lambda env, s=slot, d=dom_d:
+                        jnp.where(env[s] == T.NULL_I64, jnp.int64(T.NULL_I64),
+                                  d[jnp.clip(env[s], 0, len(d) - 1)])), \
+                    T.SYMBOL
+            return (lambda env, s=slot: env[s]), ct
+        if t < 0:
+            st = -t
+            if st in (T.I16, T.I32, T.I64, T.F64, T.B8, T.U8, T.DATE,
+                      T.TIME, T.TIMESTAMP):
+                val = ast.v
+                return (lambda env, v=val: v), st
+            return None
+        if t != T.LIST or not ast.v:
+            return None
+        head = ast.v[0]
+        name = _builtin_name(head)
+        if name is None:
+            return None
+        args = ast.v[1:]
+        if name in ARITH and len(args) == 2:
+            a = self.compile(args[0])
+            b = self.compile(args[1])
+            if a is None or b is None:
+                return None
+            return self._arith(ARITH[name], a, b)
+        if name in CMPS and len(args) == 2:
+            a = self.compile(args[0])
+            b = self.compile(args[1])
+            if a is None or b is None:
+                return None
+            return self._cmp(CMPS[name], a, b)
+        if name == "not" and len(args) == 1:
+            a = self.compile(args[0])
+            if a is None or a[1] != T.B8:
+                return None
+            return (lambda env, f=a[0]: ~(f(env).astype(bool))), T.B8
+        if name in ("and", "or"):
+            parts = [self.compile(x) for x in args]
+            if any(p is None or p[1] != T.B8 for p in parts):
+                return None
+            fns = [p[0] for p in parts]
+            if name == "and":
+                def g(env, fns=fns):
+                    r = fns[0](env).astype(bool)
+                    for f in fns[1:]:
+                        r = r & f(env).astype(bool)
+                    return r
+            else:
+                def g(env, fns=fns):
+                    r = fns[0](env).astype(bool)
+                    for f in fns[1:]:
+                        r = r | f(env).astype(bool)
+                    return r
+            return g, T.B8
+        if name == "neg" and len(args) == 1:
+            a = self.compile(args[0])
+            if a is None:
+                return None
+            return (lambda env, f=a[0]: -f(env)), a[1]
+        if name == "in" and len(args) == 2 and args[1].t in \
+                (T.SYMBOL, T.I64, T.I32, T.I16):
+            a = self.compile(args[0])
+            if a is None:
+                return None
+            vals = to_np(args[1]).astype(np.int64)
+            vd = jnp.asarray(vals)
+            return (lambda env, f=a[0], v=vd:
+                    jnp.isin(f(env).astype(jnp.int64), v)), T.B8
+        return None
+
+    def _arith(self, op, a, b):
+        fa, ta = a
+        fb, tb = b
+        from ..ops.vops import promote_arith
+        try:
+            if op == "fdiv":
+                rt, ct = T.F64, T.F64
+                promote_arith("mul", ta, tb)
+            else:
+                rt, ct = promote_arith(op, ta, tb)
+        except Exception:
+            return None
+        nullv = T.NULL_BY_TYPE.get(rt)
+
+        def g(env, fa=fa, fb=fb, op=op, ct=ct, rt=rt, ta=ta, tb=tb,
+              nullv=nullv):
+            va = fa(env)
+            vb = fb(env)
+            na = _isnull(va, ta)
+            nb = _isnull(vb, tb)
+            if ct == T.F64:
+                va = va.astype(jnp.float64) if hasattr(va, "astype") \
+                    else jnp.float64(va)
+                vb = vb.astype(jnp.float64) if hasattr(vb, "astype") \
+                    else jnp.float64(vb)
+            if op == "add":
+                r = va + vb
+            elif op == "sub":
+                r = va - vb
+            elif op == "mul":
+                r = va * vb
+            elif op == "idiv":
+                r = jnp.floor_divide(va, jnp.where(vb == 0, 1, vb))
+                nb = nb | (vb == 0)
+            elif op == "fdiv":
+                r = va / jnp.where(vb == 0, 1.0, vb)
+                nb = nb | (vb == 0)
+            elif op == "mod":
+                r = jnp.mod(va, jnp.where(vb == 0, 1, vb))
+                nb = nb | (vb == 0)
+            else:  # xbar: b * trunc(a/b), exact in integers
+                safe = jnp.where(vb == 0, 1, vb)
+                if rt == T.F64:
+                    r = safe * jnp.trunc(va / safe)
+                else:
+                    q = jnp.abs(va) // jnp.abs(safe)
+                    q = jnp.where((va < 0) != (safe < 0), -q, q)
+                    r = safe * q
+                nb = nb | (vb == 0)
+            r = jnp.asarray(r, dtype=r_dtype(rt))
+            nulls = na | nb
+            if nullv is not None:
+                r = jnp.where(nulls, r_dtype(rt)(nullv), r)
+            return r
+        return g, rt
+
+    def _cmp(self, op, a, b):
+        fa, ta = a
+        fb, tb = b
+        num = (T.B8, T.U8, T.I16, T.I32, T.I64, T.F64)
+        cls_a = "num" if ta in num else ta
+        cls_b = "num" if tb in num else tb
+        if cls_a != cls_b:
+            return None
+        f64involved = ta == T.F64 or tb == T.F64
+
+        def g(env, fa=fa, fb=fb, op=op, f64=f64involved):
+            va = fa(env)
+            vb = fb(env)
+            if f64:
+                va = jnp.where(jnp.isnan(jnp.asarray(va, jnp.float64)),
+                               -jnp.inf, jnp.asarray(va, jnp.float64))
+                vb = jnp.where(jnp.isnan(jnp.asarray(vb, jnp.float64)),
+                               -jnp.inf, jnp.asarray(vb, jnp.float64))
+            if op == "eq":
+                return va == vb
+            if op == "ne":
+                return va != vb
+            if op == "lt":
+                return va < vb
+            if op == "gt":
+                return va > vb
+            if op == "le":
+                return va <= vb
+            return va >= vb
+        return g, T.B8
+
+
+def r_dtype(rt):
+    return {T.I16: jnp.int16, T.I32: jnp.int32, T.I64: jnp.int64,
+            T.F64: jnp.float64, T.U8: jnp.uint8, T.B8: jnp.int8,
+            T.DATE: jnp.int32, T.TIME: jnp.int32,
+            T.TIMESTAMP: jnp.int64}.get(rt, jnp.int64)
+
+
+def _isnull(v, t):
+    if t == T.F64:
+        return jnp.isnan(v) if hasattr(v, "shape") else jnp.isnan(
+            jnp.float64(v))
+    nv = T.NULL_BY_TYPE.get(t)
+    if nv is None:
+        return jnp.bool_(False)
+    return v == nv
+
+
+def compile_expr(tbl: Obj, ast: Obj):
+    """Compile an elementwise expression over tbl's columns.
+    Returns Compiled or None."""
+    c = _Compiler(tbl)
+    r = c.compile(ast)
+    if r is None:
+        return None
+    fn, rt = r
+    return Compiled(fn, c.cols, rt)
+
+
+def split_aggregate(tbl: Obj, ast: Obj):
+    """If ast is (agg inner-elementwise-expr), return (aggname, Compiled)
+    for the inner expression; else None."""
+    if ast.t != T.LIST or not ast.v:
+        return None
+    name = _builtin_name(ast.v[0])
+    if name not in AGG_NAMES or len(ast.v) != 2:
+        return None
+    inner = compile_expr(tbl, ast.v[1])
+    if inner is None:
+        return None
+    return name, inner

@@ -149,6 +149,55 @@ def select_parts(interp, d: Obj):
             target_sid)
 
 
+def _try_device_select(interp, d: Obj):
+    """Attempt the fused TPU path (engine/select.py). Any unsupported
+    shape falls back to the host interpreter with identical semantics."""
+    try:
+        if d.t != T.DICT:
+            return None
+        entries = _dict_entries(d)
+        from_ast = where_ast = by_ast = take_ast = None
+        outs = []
+        for sid, ast in entries:
+            if sid == SYM_FROM:
+                from_ast = ast
+            elif sid == SYM_WHERE:
+                where_ast = ast
+            elif sid == SYM_BY:
+                by_ast = ast
+            elif sid == SYM_TAKE:
+                take_ast = ast
+            else:
+                outs.append((sid, ast))
+        if from_ast is None or not outs:
+            return None
+        src = collect_lazy(interp.eval(from_ast))
+        if src.t == -T.SYMBOL:
+            src = interp.resolve(int(src.v))
+            if src is None:
+                return None
+        if src.t != T.TABLE:
+            return None
+        from ..engine import device as _dev
+        if not _dev.should_use(len(src)):
+            return None
+        from ..engine.select import try_select_device
+        lim = None
+        if take_ast is not None:
+            tv = collect_lazy(interp.eval(take_ast))
+            lim = int(tv.v)
+        out = try_select_device(interp, src, outs, where_ast, by_ast, lim)
+        if out is not None and lim is not None:
+            out = _apply_take(out, lim)
+        return out
+    except Exception:
+        import os
+        if os.environ.get("RAYFORCE_DEBUG"):
+            import traceback
+            traceback.print_exc()
+        return None
+
+
 def _lazy_table(src: Obj, ids, gindex) -> Obj:
     def wrap(c):
         w = c
@@ -162,6 +211,9 @@ def _lazy_table(src: Obj, ids, gindex) -> Obj:
 
 def ray_select(interp, arg) -> Obj:
     d = collect_lazy(interp.eval(arg))
+    fast = _try_device_select(interp, d)
+    if fast is not None:
+        return fast
     (src, outs, ids, gindex, by_names, by_cols, lim, _tsid) = \
         select_parts(interp, d)
 

@@ -1,8 +1,13 @@
-import os
+"""Test harness config: force a deterministic 8-device virtual CPU mesh.
 
-# Virtual 8-device CPU mesh for sharding tests; must be set before jax init.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+The axon sitecustomize pins JAX_PLATFORMS=axon at import, so the platform
+must be overridden through jax.config (env vars are ignored)."""
+
+
+def pytest_configure(config):
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
