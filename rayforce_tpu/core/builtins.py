@@ -360,6 +360,63 @@ def build_env(interp_holder: dict) -> Env:
       lambda args: jn.ray_window_join(interp(), args, 0))
     R("window-join1", V,
       lambda args: jn.ray_window_join(interp(), args, 1))
+    # ---- storage -------------------------------------------------------
+    def v_set_splayed(args):
+        from ..storage import splayed
+        if len(args) == 2 and args[0].t == -T.SYMBOL:
+            interp().globals[int(args[0].v)] = args[1]
+            return args[1]
+        if len(args) not in (2, 3):
+            raise RayError("arity", "set-splayed")
+        path = str_of(args[0])
+        symfile = str_of(args[2]) if len(args) == 3 and \
+            args[2].t == T.C8 else None
+        splayed.set_splayed(path, args[1], symfile, interp())
+        return args[0]
+
+    def v_get_splayed(args):
+        from ..storage import splayed
+        return splayed.get_splayed(str_of(args[0]), interp())
+
+    def v_set_parted(args):
+        from ..storage import parted as pstore
+        if len(args) == 2 and args[0].t == -T.SYMBOL:
+            interp().globals[int(args[0].v)] = args[1]
+            return args[1]
+        if len(args) != 4:
+            raise RayError("arity", "set-parted needs db part name table")
+        pstore.set_parted(str_of(args[0]), str_of(args[1]),
+                          str_of(args[2]), args[3], interp())
+        return args[0]
+
+    def v_get_parted(args):
+        from ..storage import parted as pstore
+        if len(args) != 2:
+            raise RayError("arity", "get-parted")
+        return pstore.get_parted(str_of(args[0]).rstrip("/"),
+                                 str_of(args[1]), interp())
+
+    def v_read_csv(args):
+        from ..storage import csv as csvio
+        if len(args) not in (2, 3):
+            raise RayError("arity", "read-csv")
+        sep = str_of(args[2]) if len(args) == 3 else ","
+        return csvio.read_csv(args[0], str_of(args[1]), sep)
+
+    def v_write_csv(args):
+        from ..storage import csv as csvio
+        if len(args) not in (2, 3):
+            raise RayError("arity", "write-csv")
+        sep = str_of(args[2]) if len(args) == 3 else ","
+        csvio.write_csv(str_of(args[0]), args[1], sep)
+        return args[0]
+
+    R("set-splayed", V, v_set_splayed)
+    R("get-splayed", V, v_get_splayed)
+    R("set-parted", V, v_set_parted)
+    R("get-parted", V, v_get_parted)
+    R("read-csv", V, v_read_csv)
+    R("write-csv", V, v_write_csv)
     R("args", V, _fn_args(interp_holder))
     R("if", V, sf_if, FN_SPECIAL)
     R("return", V, fn_return)

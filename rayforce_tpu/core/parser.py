@@ -25,6 +25,12 @@ _TERM = set(")]}: \r\n\0")
 I64_MIN, I64_MAX = -(2 ** 63), 2 ** 63 - 1
 
 
+def _qnull():
+    o = sym_null()
+    o.attrs |= 1  # ATTR_QUOTED (parse.c:190)
+    return o
+
+
 def _is_alpha(c):
     return ("a" <= c <= "z") or ("A" <= c <= "Z")
 
@@ -149,7 +155,7 @@ class Parser:
             "l": lambda: i64(T.NULL_I64),
             "f": lambda: f64(T.NULL_F64),
             "g": lambda: guid(bytes(16)),
-            "s": lambda: sym_null(),
+            "s": lambda: _qnull(),
         }
         if k in mk:
             self.advance_char(3)

@@ -29,7 +29,9 @@ def intern(name: str) -> int:
 
 
 def name_of(sid: int) -> str:
-    return _by_id[sid]
+    if 0 <= sid < len(_by_id):
+        return _by_id[sid]
+    return ""  # null / foreign id
 
 
 def count() -> int:

@@ -147,10 +147,36 @@ k_minmax_i64 = partial(jax.jit,
                        static_argnames=("n", "is_min"))(minmax_i64_raw)
 
 
+def f64_order_key(v):
+    """Order-preserving i64 key for f64 bits (sign-flip trick, the same
+    idea as the reference's radix f64 sort, core/sort.c:266-285). Needed
+    because this TPU emulates f64 arithmetic with a float32 pair
+    (~49-bit mantissa): comparing through arithmetic perturbs values, but
+    integer bit manipulation is exact."""
+    b = jax.lax.bitcast_convert_type(v, jnp.int64)
+    return jnp.where(b < 0, ~b, b ^ jnp.int64(-0x8000000000000000))
+
+
+def f64_from_order_key(k):
+    b = jnp.where(k < 0, ~k, k ^ jnp.int64(-0x8000000000000000))
+    return jax.lax.bitcast_convert_type(b, jnp.float64)
+
+
+def minmax_f64_raw(codes, v, n, is_min):
+    """Bit-exact f64 segment min/max: reduce the order key with the
+    2-pass i32 kernel, then bitcast back. NaNs are skipped."""
+    nn = jnp.isnan(v)
+    key = f64_order_key(v)
+    lim = jnp.int64(0x7FFFFFFFFFFFFFFF) if is_min         else jnp.int64(-0x8000000000000000)
+    key = jnp.where(nn, lim, key)
+    red = minmax_i64_raw(codes, key, n, is_min)
+    return f64_from_order_key(red),         (jax.ops.segment_sum((~nn).astype(jnp.float32), codes,
+                             num_segments=n) == 0)
+
+
 @partial(jax.jit, static_argnames=("n", "is_min"))
 def k_minmax_f64(codes, v, n, is_min):
-    op = jax.ops.segment_min if is_min else jax.ops.segment_max
-    return op(v, codes, num_segments=n)
+    return minmax_f64_raw(codes, v, n, is_min)
 
 
 @partial(jax.jit, static_argnames=("n", "is_min"))
@@ -331,10 +357,10 @@ def device_aggregate_arr(name: str, t: int, a, gx: DeviceGroupIndex):
             out = np.asarray(dense)[:n][order].astype(T.DTYPE[t])
             return Obj(t, out)
         if t == T.F64:
-            dense = _k_minmax_f64_skipnan(gx.codes, a, n + 1, is_min)
+            dense, empty = k_minmax_f64(gx.codes, a, n + 1, is_min)
             out = np.asarray(dense)[:n][order]
-            inf = np.inf if is_min else -np.inf
-            out = np.where(np.isinf(out) & (out == inf), T.NULL_F64, out)
+            emp = np.asarray(empty)[:n][order]
+            out = np.where(emp, T.NULL_F64, out)
             return Obj(T.F64, out)
         return None
     return None

@@ -86,10 +86,8 @@ def _agg_dense(name, rtype, arr, codes, n):
     if name in ("min", "max"):
         is_min = name == "min"
         if rtype == T.F64:
-            init = jnp.inf if is_min else -jnp.inf
-            vv = jnp.where(jnp.isnan(arr), init, arr)
-            op = jax.ops.segment_min if is_min else jax.ops.segment_max
-            return op(vv, codes, num_segments=n)
+            # bit-exact selection (TPU f64 arithmetic is emulated)
+            return dev.minmax_f64_raw(codes, arr, n, is_min)
         if rtype in (T.I64, T.TIMESTAMP, T.SYMBOL):
             return dev.minmax_i64_raw(codes, arr, n, is_min)
         op = jax.ops.segment_min if is_min else jax.ops.segment_max
@@ -295,16 +293,20 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
             out_cols.append(Obj(T.F64, v))
             out_names.append(sid)
             continue
+        if name in ("min", "max") and rt == T.F64:
+            vv, empty = dense
+            v = np.asarray(vv)[:plan.n_codes][order]
+            emp = np.asarray(empty)[:plan.n_codes][order]
+            v = np.where(emp, T.NULL_F64, v)
+            out_cols.append(Obj(T.F64, v))
+            out_names.append(sid)
+            continue
         v = np.asarray(dense)[:plan.n_codes][order]
         if name == "sum":
             ot = {T.I32: T.I32, T.F64: T.F64}.get(rt, T.I64)
             out_cols.append(Obj(ot, v.astype(T.DTYPE[ot])))
         elif name in ("min", "max"):
-            if rt == T.F64:
-                inf = np.inf if name == "min" else -np.inf
-                v = np.where(np.isinf(v) & (v == inf), T.NULL_F64, v)
-                out_cols.append(Obj(T.F64, v))
-            elif rt == T.SYMBOL:
+            if rt == T.SYMBOL:
                 out_cols.append(Obj(T.SYMBOL, v.astype(np.int64)))
             else:
                 out_cols.append(Obj(rt, v.astype(T.DTYPE[rt])))

@@ -14,6 +14,8 @@ from .compose import gather, take_n, unify_list
 
 
 def ray_count(o: Obj) -> Obj:
+    if o.t in T.UNPARTED_OF:
+        return Obj(-T.I64, np.int64(len(o)))
     if o.t == T.MAPGROUP:
         from .aggr import grouped_aggregate
         return grouped_aggregate("count", o.v[0], o.v[1])

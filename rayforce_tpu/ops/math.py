@@ -115,6 +115,11 @@ def _aggr_dispatch(o: Obj, scalar_fn, name):
     if o.t == T.MAPFILTER:
         from .filter import filter_collect
         return scalar_fn(filter_collect(o.v[0], o.v[1]))
+    if o.t in T.UNPARTED_OF:
+        # stream partition-at-a-time, combine partials
+        # (reference PARTED_MAP, aggr.c:183-260)
+        parts = [_aggr_dispatch(p, scalar_fn, name) for p in o.v]
+        return _combine_partials(name, parts)
     if o.t == T.LIST:
         from .compose import unify_list
         return unify_list([_aggr_dispatch(e, scalar_fn, name)
@@ -123,6 +128,23 @@ def _aggr_dispatch(o: Obj, scalar_fn, name):
         k, v = o.v
         return dict_(k, _aggr_dispatch(v, scalar_fn, name))
     return scalar_fn(o)
+
+
+def _combine_partials(name: str, parts: list) -> Obj:
+    from .compose import unify_list
+    from .items import ray_count as _cnt
+    vec = unify_list(parts)
+    if name == "sum":
+        return _sum_np(vec)
+    if name in ("min",):
+        return _minmax_np(vec, True)
+    if name in ("max",):
+        return _minmax_np(vec, False)
+    if name in ("first",):
+        return parts[0]
+    if name in ("last",):
+        return parts[-1]
+    raise err_type(f"parted {name} needs full materialization")
 
 
 def _sum_np(o: Obj):
@@ -154,6 +176,9 @@ def ray_sum(o):
 
 
 def _avg_np(o: Obj):
+    if o.t in T.UNPARTED_OF:
+        from .parted import parted_raze
+        o = parted_raze(o)
     if o.t < 0:
         o = Obj(abs(o.t), np.asarray([o.v]))
     t = o.t
