@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark: db-benchmark-style group-by suite on the TPU engine.
+
+Mirrors the reference's headline group-by benchmark (docs group-by.md,
+H2OAI G1_1e7_1e2 dataset shape): 10M rows, id1/id2 card 100, id3 card
+100k, v1 in 1..5, v3 uniform f64. Baseline: reference Q1 = 60 ms,
+Q2 = 74 ms, Q3 = 118 ms (BASELINE.md).
+
+Prints ONE JSON line: the geometric-mean speedup over the reference
+baselines for the queries run. Detailed per-query numbers go to stderr.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import device as dev
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+
+    N = 10_000_000
+    rng = np.random.default_rng(7)
+    log(f"building {N}-row table...")
+    id1 = rng.integers(0, 100, N).astype(np.int64)
+    id2 = rng.integers(0, 100, N).astype(np.int64)
+    id3 = rng.integers(0, 100_000, N).astype(np.int64)
+    v1 = rng.integers(1, 6, N).astype(np.int64)
+    v2 = rng.integers(1, 16, N).astype(np.int64)
+    v3 = rng.uniform(0, 100, N)
+    cols = [Obj(T.I64, id1), Obj(T.I64, id2), Obj(T.I64, id3),
+            Obj(T.I64, v1), Obj(T.I64, v2), Obj(T.F64, v3)]
+    tbl = table(vec_sym(["id1", "id2", "id3", "v1", "v2", "v3"]), cols)
+
+    rt = Runtime()
+    rt.interp.globals[symbols.intern("t")] = tbl
+    log("staging columns to device HBM...")
+    t0 = time.perf_counter()
+    dev.put_table(tbl)
+    log(f"staged in {time.perf_counter()-t0:.1f}s; "
+        f"device={'on' if dev.available() else 'off'}")
+
+    queries = [
+        ("q1", "(select {s: (sum v1) from: t by: id1})", 60.0),
+        ("q2", "(select {s: (sum v1) from: t by: {id1: id1 id2: id2}})",
+         74.0),
+        ("q3", "(select {s: (sum v1) a: (avg v3) from: t by: id3})",
+         118.0),
+        ("q4", "(select {a1: (avg v1) a2: (avg v2) a3: (avg v3) from: t "
+         "by: id1})", 72.0),
+        ("q5", "(select {s1: (sum v1) s2: (sum v2) s3: (sum v3) from: t "
+         "by: id2})", 122.0),
+        ("q6", "(select {mx: (max v1) mn: (min v2) from: t by: id3})",
+         104.0),
+    ]
+
+    speedups = []
+    results = {}
+    for name, q, baseline_ms in queries:
+        try:
+            rt.eval_str(q)  # compile/plan
+            best = 1e18
+            for _ in range(5):
+                t0 = time.perf_counter()
+                r = rt.eval_str(q)
+                best = min(best, (time.perf_counter() - t0) * 1000)
+            results[name] = best
+            speedups.append(baseline_ms / best)
+            log(f"{name}: {best:.1f} ms (baseline {baseline_ms} ms, "
+                f"{baseline_ms/best:.2f}x) rows={len(r)}")
+        except Exception as e:
+            log(f"{name}: FAILED {e}")
+            results[name] = None
+            speedups.append(0.01)
+
+    geo = float(np.exp(np.mean(np.log(np.maximum(speedups, 1e-9)))))
+    q1 = results.get("q1") or 0.0
+    print(json.dumps({
+        "metric": "groupby_suite_geomean_speedup_vs_reference",
+        "value": round(geo, 3),
+        "unit": "x",
+        "vs_baseline": round(geo, 3),
+        "detail": {k: (round(v, 1) if v else None)
+                   for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

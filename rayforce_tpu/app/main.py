@@ -1,0 +1,73 @@
+"""CLI entry: `python -m rayforce_tpu [-f file] [-p port] [-i] [-- args]`
+(reference app/main.c:36-114: optional script, optional IPC listener,
+REPL when interactive)."""
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    script = None
+    port = None
+    interactive = False
+    user_args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-f" and i + 1 < len(argv):
+            script = argv[i + 1]
+            i += 2
+        elif a == "-p" and i + 1 < len(argv):
+            port = int(argv[i + 1])
+            i += 2
+        elif a == "-i":
+            interactive = True
+            i += 1
+        elif a == "-c" and i + 1 < len(argv):
+            i += 2  # core count: XLA owns threading; accepted for parity
+        elif a == "-t" and i + 1 < len(argv):
+            i += 2  # timeit runs: handled by (timeit ...) builtin
+        elif a == "--":
+            user_args = argv[i + 1:]
+            break
+        else:
+            user_args.append(a)
+            i += 1
+
+    from ..core.builtins import Runtime
+    rt = Runtime(cli_args=user_args)
+
+    code = 0
+    if script:
+        try:
+            rt.eval_str(open(script).read())
+        except SystemExit as e:
+            code = e.code or 0
+            if port is None and not interactive:
+                return code
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+
+    server = None
+    if port is not None:
+        from ..ipc.server import IpcServer
+        server = IpcServer(rt, port)
+        server.start()
+        print(f"listening on :{port}", file=sys.stderr)
+
+    if interactive or (script is None and port is None
+                       and sys.stdin.isatty()):
+        from .repl import repl
+        repl(rt, server)
+    elif server is not None:
+        try:
+            server.run_forever()
+        except KeyboardInterrupt:
+            server.stop()
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

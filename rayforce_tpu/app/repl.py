@@ -1,0 +1,90 @@
+"""Interactive REPL (reference app/repl.c + app/term.c).
+
+readline provides history and tab-completion over builtins and globals
+(the reference's term.c line editor, 1688 LoC of raw-mode handling, maps
+onto the host's readline). Multiline input continues while parens are
+unbalanced. The IPC server (if any) is pumped between reads.
+"""
+from __future__ import annotations
+
+import sys
+
+from ..core import types as T
+from ..core import symbols, fmt
+from ..core.errors import RayError, err_msg
+
+
+def _completer_factory(rt):
+    def complete(text, state):
+        cands = [n for n in rt.env.builtins if n.startswith(text)]
+        from ..core import symbols as S
+        for sid in rt.interp.globals:
+            n = S.name_of(sid)
+            if n.startswith(text):
+                cands.append(n)
+        cands = sorted(set(cands))
+        return cands[state] if state < len(cands) else None
+    return complete
+
+
+def _balanced(src: str) -> bool:
+    depth = 0
+    in_str = False
+    esc = False
+    for ch in src:
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+    return depth <= 0 and not in_str
+
+
+def repl(rt, server=None):
+    try:
+        import readline
+        readline.set_completer(_completer_factory(rt))
+        readline.set_completer_delims(" \t\n()[]{}\"'")
+        readline.parse_and_bind("tab: complete")
+    except ImportError:
+        pass
+    print("rayforce-tpu; (exit 0) to quit", file=sys.stderr)
+    buf = ""
+    while True:
+        try:
+            if server is not None:
+                server.run_once(0)
+            prompt = "❯ " if not buf else "… "
+            line = input(prompt)
+        except EOFError:
+            print()
+            return
+        except KeyboardInterrupt:
+            buf = ""
+            print()
+            continue
+        buf = (buf + "\n" + line) if buf else line
+        if not _balanced(buf):
+            continue
+        src, buf = buf, ""
+        if not src.strip():
+            continue
+        try:
+            result = rt.eval_str(src)
+            if result is not None and result.t != -T.NULL:
+                print(fmt.format_obj(result, 0, None, 1))
+        except SystemExit:
+            raise
+        except RayError as e:
+            print(f"'{err_msg(e)}", file=sys.stderr)
+        except Exception as e:
+            print(f"'error: {e}", file=sys.stderr)

@@ -232,6 +232,7 @@ def build_env(interp_holder: dict) -> Env:
     R("get", U, fn_get)
     R("quote", U, sf_quote, FN_SPECIAL)
     R("raise", U, fn_raise)
+
     R("parse", U, fn_parse)
     R("eval", U, fn_eval)
     R("load", U, fn_load)
@@ -263,7 +264,10 @@ def build_env(interp_holder: dict) -> Env:
     R("where", U, items.ray_where, FN_ATOMIC)
     R("key", U, items.ray_key)
     R("value", U, items.ray_value)
-    R("hclose", U, _stub_unary("hclose"))
+    def fn_hclose(o):
+        interp().handles.close(int(o.v))
+        return NULL_OBJ
+    R("hclose", U, fn_hclose)
     R("rc", U, misc.ray_rc)
     R("select", U, sf_select, FN_SPECIAL)
     R("update", U, sf_update, FN_SPECIAL)
@@ -411,6 +415,41 @@ def build_env(interp_holder: dict) -> Env:
         csvio.write_csv(str_of(args[0]), args[1], sep)
         return args[0]
 
+    # ---- IPC handles -----------------------------------------------
+    def v_hopen(args):
+        from ..ipc import client as ipc
+        if not args:
+            raise RayError("arity", "hopen")
+        spec = str_of(args[0])
+        timeout = float(args[1].v) / 1000.0 if len(args) > 1 else None
+        return Obj(-T.I64,
+                   np.int64(ipc.hopen(interp().handles, spec, timeout)))
+
+    def fn_write(h, msg):
+        from ..ipc import client as ipc
+        return ipc.write(interp().handles, interp(), int(h.v), msg)
+
+    def fn_read(o):
+        from ..ipc import client as ipc
+        if o.t == T.C8:
+            with open(str_of(o), "rb") as f:
+                data = f.read()
+            return string(data)
+        return ipc.read(interp().handles, int(o.v))
+
+    def v_timer(args):
+        from ..ipc import timers
+        if len(args) < 2:
+            raise RayError("arity", "timer")
+        ms = int(args[0].v)
+        fn = args[1]
+        reps = int(args[2].v) if len(args) > 2 else None
+        return Obj(-T.I64, np.int64(timers.register(ms, fn, reps)))
+
+    R("hopen", V, v_hopen)
+    R("timer", V, v_timer)
+    R("read", U, fn_read)
+    R("write", B, fn_write)
     R("set-splayed", V, v_set_splayed)
     R("get-splayed", V, v_get_splayed)
     R("set-parted", V, v_set_parted)

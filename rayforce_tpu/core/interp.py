@@ -68,6 +68,8 @@ class Interp:
         self.frames: list[Frame] = []
         self.qctx: list[QueryCtx] = []
         self.depth = 0
+        from ..ipc.client import HandleRegistry
+        self.handles = HandleRegistry()
 
     # -- resolution (eval.c:134-176) ----------------------------------
     def resolve(self, sid: int):

@@ -1,0 +1,127 @@
+"""IPC server: the control-plane reactor (reference core/poll.c event loop
++ core/ipc.c message handling).
+
+The reference's epoll/kqueue/IOCP reactor maps to a selectors-based loop on
+the host CPU; queries dispatch into the (single) engine, whose heavy
+kernels run on the TPU. User hooks `.z.po` / `.z.pc` fire on connection
+open/close (ipc.c:195-219); the current handle id is exposed as `.z.w`.
+"""
+from __future__ import annotations
+
+import selectors
+import socket
+import struct
+import threading
+
+import numpy as np
+
+from ..core import types as T
+from ..core import symbols
+from ..core.obj import Obj, NULL_OBJ, str_of
+from ..core.errors import RayError, err_msg
+from ..core.obj import string
+from . import protocol as proto
+
+
+class IpcServer:
+    def __init__(self, runtime, port: int, host: str = "0.0.0.0"):
+        self.rt = runtime
+        self.port = port
+        self.host = host
+        self.sel = selectors.DefaultSelector()
+        self.listener = None
+        self.handles: dict[int, socket.socket] = {}
+        self.next_handle = 3  # fds 0-2 are stdio, like the reference
+        self.running = False
+
+    # -- user hooks (.z.po / .z.pc, ipc.c:195) --------------------------
+    def _hook(self, name: str, handle: int):
+        ip = self.rt.interp
+        sid = symbols.intern(name)
+        fn = ip.globals.get(sid)
+        if fn is not None and fn.t == T.LAMBDA:
+            try:
+                ip.call_lambda(fn.v, [Obj(-T.I64, np.int64(handle))])
+            except RayError:
+                pass
+
+    def start(self):
+        self.listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.listener.bind((self.host, self.port))
+        self.listener.listen(64)
+        self.sel.register(self.listener, selectors.EVENT_READ,
+                          self._accept)
+        self.running = True
+
+    def _accept(self, sock):
+        conn, _addr = sock.accept()
+        # version handshake (ipc.c:231-245)
+        v = conn.recv(1)
+        if not v:
+            conn.close()
+            return
+        conn.sendall(bytes([proto.VERSION]))
+        h = self.next_handle
+        self.next_handle += 1
+        self.handles[h] = conn
+        self.sel.register(conn, selectors.EVENT_READ,
+                          lambda s, h=h: self._on_data(s, h))
+        self._hook(".z.po", h)
+
+    def _on_data(self, conn, handle):
+        ip = self.rt.interp
+        try:
+            msgtype, obj = proto.read_msg(conn, ip.env)
+        except (ConnectionError, OSError):
+            self._close(conn, handle)
+            return
+        # expose current handle as .z.w
+        ip.globals[symbols.intern(".z.w")] = Obj(-T.I64, np.int64(handle))
+        try:
+            result = self._eval_msg(obj)
+        except RayError as e:
+            result = string("'" + err_msg(e))
+        except Exception as e:  # engine bug: surface, don't kill the loop
+            result = string(f"'error: {e}")
+        if msgtype == proto.MSG_SYNC:
+            try:
+                conn.sendall(proto.pack_msg(result, proto.MSG_RESP))
+            except OSError:
+                self._close(conn, handle)
+
+    def _eval_msg(self, obj: Obj) -> Obj:
+        """RPC = send code: strings parse+eval, objects eval
+        (ipc.c:372-395)."""
+        ip = self.rt.interp
+        if obj.t == T.C8:
+            return ip.eval_str(str_of(obj))
+        return ip.eval(obj)
+
+    def _close(self, conn, handle):
+        try:
+            self.sel.unregister(conn)
+        except Exception:
+            pass
+        conn.close()
+        self.handles.pop(handle, None)
+        self._hook(".z.pc", handle)
+
+    def run_once(self, timeout=0.1):
+        for key, _ in self.sel.select(timeout):
+            key.data(key.fileobj)
+
+    def run_forever(self):
+        while self.running:
+            self.run_once(0.25)
+            # fire due timers registered via (timer ...)
+            from . import timers
+            timers.fire_due(self.rt)
+
+    def stop(self):
+        self.running = False
+        if self.listener:
+            self.sel.unregister(self.listener)
+            self.listener.close()
+        for h, c in list(self.handles.items()):
+            self._close(c, h)
