@@ -1,19 +1,35 @@
 """Device fast path for select: fused filter + group + aggregate.
 
 The entire query — where-mask, dense group codes, and every aggregate —
-traces into ONE jitted function (one device dispatch per query execution;
-essential because each eager dispatch pays the host<->TPU round trip).
-Compiled pipelines are cached by a structural fingerprint of the query and
-its column layout, so repeated queries hit the XLA-compiled kernel
-directly.
+traces into ONE jitted function whose outputs are packed into two
+stacked buffers (i64 + f64) placed in pinned host memory: per query
+execution the host pays one execute round trip and one batched transfer
+(~30 ms each on the relay), with kernel time on top.
 
-Group keys are decoded arithmetically from dense slot ids on the host
-(slot = sum(code_i * multiplier_i)), so no device gather is needed for the
-key columns.
+Kernel strategy (see engine/groupby.py for the measured playbook —
+no scatters, no 64-bit bitcasts, ever):
+
+- dense group codes from cached column ranges (the reference's
+  perfect/range-multiplier strategy, core/index.c:2308);
+- n_codes <= SMALL_N: one chunked (L, n) broadcast-mask scan computes
+  first/last row ids, f64 sums, and min/max directly;
+- larger n: counts + exact integer limb sums via factored one-hot MXU
+  matmuls; if any aggregate needs order/extrema/f64 sums, ONE stable
+  sort [codes, iota, payloads...] + log-doubling segmented scans +
+  cumsum boundary diffs;
+- group keys are decoded arithmetically from dense slot ids on the
+  host; first/last values are host-side gathers at the fetched row ids.
+
+Aggregate null semantics mirror the reference exactly (ops.h:136-190):
+sum propagates nulls (any null in group -> typed null), avg/min/max
+skip nulls (all-null group -> typed null), count counts all rows.
+Group order is first-appearance (core/index.c group-id assignment),
+recovered from per-group first row ids. Plans are cached by a
+structural fingerprint of the query AST and its column identities.
 """
 from __future__ import annotations
 
-from functools import partial
+import sys
 
 import numpy as np
 import jax
@@ -21,15 +37,22 @@ import jax.numpy as jnp
 
 from ..core import types as T
 from ..core import symbols
-from ..core.obj import Obj, to_np, table
+from ..core.obj import Obj, to_np, table, enum_domain
 from . import device as dev
+from . import groupby as G
 from .exprc import compile_expr, split_aggregate
 
 _plan_cache: dict = {}
 
+INT_LIKE = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
+            T.TIMESTAMP, T.SYMBOL)
+# host-parity result types (ops/math.py SUM_TYPE, oracle-pinned)
+SUM_OUT = {T.U8: T.I64, T.I16: T.I64, T.I32: T.I32, T.I64: T.I64}
+MINMAX_OK = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
+             T.TIMESTAMP, T.F64)
+
 
 def _fingerprint(ast: Obj) -> str:
-    """Structural fingerprint of an AST (stable across reparses)."""
     t = ast.t
     if t == T.LIST:
         return "(" + " ".join(_fingerprint(x) for x in ast.v) + ")"
@@ -51,61 +74,42 @@ def _fingerprint(ast: Obj) -> str:
     return f"t{t}"
 
 
-@partial(jax.jit, static_argnames=("n",), donate_argnums=())
-def _k_compact_meta(codes, n):
-    cnt = jax.ops.segment_sum(jnp.ones_like(codes, dtype=jnp.int32),
-                              codes, num_segments=n + 1)
-    idx = jnp.arange(codes.shape[0], dtype=jnp.int32)
-    fidx = jax.ops.segment_min(idx, codes, num_segments=n + 1)
-    return cnt, fidx
+class _Agg:
+    __slots__ = ("sid", "name", "inner", "meta")
 
-
-def _agg_dense(name, rtype, arr, codes, n):
-    """Traceable dense aggregate (inside the pipeline jit)."""
-    if name == "count":
-        return jax.ops.segment_sum(jnp.ones_like(codes, dtype=jnp.int32),
-                                   codes, num_segments=n)
-    if name == "sum":
-        if rtype == T.F64:
-            vv = jnp.where(jnp.isnan(arr), 0.0, arr)
-            return jax.ops.segment_sum(vv, codes, num_segments=n)
-        return dev.sum_i64_raw(codes, arr.astype(jnp.int64), n)
-    if name == "avg":
-        if rtype == T.F64:
-            nn = jnp.isnan(arr)
-            vv = jnp.where(nn, 0.0, arr)
-        else:
-            nn = arr == T.NULL_BY_TYPE.get(rtype, T.NULL_I64)
-            vv = jnp.where(nn, 0, arr).astype(jnp.int64)
-        s = (jax.ops.segment_sum(vv, codes, num_segments=n)
-             if rtype == T.F64
-             else dev.sum_i64_raw(codes, vv, n))
-        c = jax.ops.segment_sum((~nn).astype(jnp.float32), codes,
-                                num_segments=n)
-        return s, c
-    if name in ("min", "max"):
-        is_min = name == "min"
-        if rtype == T.F64:
-            # bit-exact selection (TPU f64 arithmetic is emulated)
-            return dev.minmax_f64_raw(codes, arr, n, is_min)
-        if rtype in (T.I64, T.TIMESTAMP, T.SYMBOL):
-            return dev.minmax_i64_raw(codes, arr, n, is_min)
-        op = jax.ops.segment_min if is_min else jax.ops.segment_max
-        return op(arr.astype(jnp.int32), codes, num_segments=n)
-    if name in ("first", "last"):
-        idx = jnp.arange(codes.shape[0], dtype=jnp.int32)
-        if name == "first":
-            pos = jax.ops.segment_min(idx, codes, num_segments=n)
-        else:
-            pos = jax.ops.segment_max(idx, codes, num_segments=n)
-        safe = jnp.clip(pos, 0, codes.shape[0] - 1)
-        return arr[safe]
-    return None
+    def __init__(self, sid, name, inner):
+        self.sid = sid
+        self.name = name
+        self.inner = inner       # Compiled
+        self.meta = {}
 
 
 class _Plan:
     __slots__ = ("fn", "col_objs", "key_meta", "aggs", "n_codes",
-                 "by_names", "out_sids")
+                 "lanes_meta", "small")
+
+
+def _null_mask(arr, rtype):
+    if rtype == T.F64:
+        return jnp.isnan(arr)
+    nv = T.NULL_BY_TYPE.get(rtype)
+    if nv is None:
+        return jnp.zeros(arr.shape, bool)
+    return arr == np.int64(nv) if arr.dtype == jnp.int64 else \
+        arr == nv
+
+
+def _minmax_payload(arr, rtype, is_min):
+    """Value with nulls mapped to the losing extreme (reference skips
+    nulls in MIN/MAX, ops.h:180-190). f64 stays in value space; ints
+    are widened to i64."""
+    nulls = _null_mask(arr, rtype)
+    if rtype == T.F64:
+        lim = jnp.float64(np.inf if is_min else -np.inf)
+        return jnp.where(nulls, lim, arr)
+    a = arr.astype(jnp.int64)
+    lim = jnp.int64(G.KEY_MAX if is_min else G.I64_MIN)
+    return jnp.where(nulls, lim, a)
 
 
 def _build_plan(src, outs, where_ast, by_ast):
@@ -130,23 +134,25 @@ def _build_plan(src, outs, where_ast, by_ast):
         else:
             return None
 
+    # --- key columns -> dense code space --------------------------------
     key_cs = []
-    key_meta = []   # (name, lo, rng, rtype)
+    key_meta = []   # (name, lo, rng, rtype, enum_dom | None)
     n_codes = 1
     for nm, ast in by_pairs:
+        dom = None
         ck = compile_expr(src, ast)
         if ck is None or ck.rtype in (T.F64, T.C8):
             return None
-        # range: only plain single-column keys get the cached range
-        if len(ck.cols) == 1 and ast.t == -T.SYMBOL:
+        if len(ck.cols) == 1 and ast.t == -T.SYMBOL and \
+                ck.cols[0].col.t == T.ENUM:
+            # group on raw enum codes; decode via the domain on host
+            col = ck.cols[0].col
+            dom = to_np(enum_domain(col))
+            lo, hi = 0, max(len(dom) - 1, 0)
+            slot = ck.cols[0].slot
+            ck.fn = (lambda env, s=slot: env[s])
+        elif len(ck.cols) == 1 and ast.t == -T.SYMBOL:
             lo, hi = dev.column_range(ck.cols[0].col)
-            if ck.rtype == T.SYMBOL and ck.cols[0].col.t == T.ENUM:
-                from ..core.obj import enum_domain
-                dom = to_np(enum_domain(ck.cols[0].col))
-                if len(dom):
-                    lo, hi = int(dom.min()), int(dom.max())
-                else:
-                    lo, hi = 0, 0
         else:
             arr = jnp.asarray(ck.fn(
                 [dev.dev_col(r.col) for r in ck.cols]))
@@ -158,17 +164,35 @@ def _build_plan(src, outs, where_ast, by_ast):
         if n_codes > dev._cfg["dense_max"]:
             return None
         key_cs.append(ck)
-        key_meta.append((nm, lo, rng, ck.rtype))
+        key_meta.append((nm, lo, rng, ck.rtype, dom))
 
+    # --- aggregates ------------------------------------------------------
     aggs = []
     for sid, ast in outs:
         sp = split_aggregate(src, ast)
         if sp is None:
             return None
         name, inner = sp
-        aggs.append((sid, name, inner))
+        if name not in ("count", "sum", "avg", "min", "max",
+                        "first", "last"):
+            return None
+        if name in ("sum", "avg") and inner.rtype not in \
+                (T.U8, T.I16, T.I32, T.I64, T.F64):
+            return None  # host raises err_type; keep that behavior
+        if name in ("min", "max") and inner.rtype not in MINMAX_OK:
+            return None
+        if name == "first" or name == "last":
+            pass
+        elif name != "count" and inner.rtype not in INT_LIKE + (T.F64,):
+            return None
+        if name in ("first", "last") and (
+                len(inner.cols) != 1 or ast.v[1].t != -T.SYMBOL):
+            return None  # first/last of derived exprs -> host path
+        aggs.append(_Agg(sid, name, inner))
 
-    # gather all column inputs across sub-expressions
+    small = n_codes <= G.SMALL_N
+
+    # --- shared column slots ---------------------------------------------
     col_objs = []
     slot_of = {}
 
@@ -184,49 +208,206 @@ def _build_plan(src, outs, where_ast, by_ast):
 
     w_map = assign(cw) if cw is not None else None
     key_maps = [assign(ck) for ck in key_cs]
-    agg_maps = [assign(inner) for _, _, inner in aggs]
+    agg_maps = {id(a.inner): assign(a.inner) for a in aggs}
+
+    # per-column requirements (deduped by compiled-expression identity)
+    need_nullcnt = set()   # cids needing a per-group null count
+    need_limbs = {}        # cid -> (lo, hi) stats or (None, None)
+    need_fsum = set()      # f64 sum/avg cids
+    need_min = set()
+    need_max = set()
+    for a in aggs:
+        cid = id(a.inner)
+        if a.name in ("sum", "avg"):
+            need_nullcnt.add(cid)
+            if a.inner.rtype in INT_LIKE:
+                if len(a.inner.cols) == 1:
+                    try:
+                        need_limbs[cid] = dev.column_range(
+                            a.inner.cols[0].col)
+                    except Exception:
+                        need_limbs[cid] = (None, None)
+                else:
+                    need_limbs[cid] = (None, None)
+            else:
+                need_fsum.add(cid)
+        elif a.name == "min":
+            need_nullcnt.add(cid)
+            need_min.add(cid)
+        elif a.name == "max":
+            need_nullcnt.add(cid)
+            need_max.add(cid)
 
     NC = n_codes
+    lanes_meta = {}
 
     def pipeline(*cols):
         def sub_env(mapping):
             return [cols[i] for i in mapping]
+
         mask = None
         if cw is not None:
             mask = jnp.asarray(cw.fn(sub_env(w_map))).astype(bool)
         if key_cs:
             codes = None
-            for ck, mp, (_nm, lo, rng, _rt) in zip(key_cs, key_maps,
-                                                   key_meta):
+            for ck, mp, (_nm, lo, rng, _rt, _dom) in zip(
+                    key_cs, key_maps, key_meta):
                 arr = jnp.asarray(ck.fn(sub_env(mp)))
-                cc = (arr - lo).astype(jnp.int32)
+                cc = (arr.astype(jnp.int64) - lo).astype(jnp.int32)
                 codes = cc if codes is None else codes * rng + cc
         else:
-            codes = jnp.zeros(cols[0].shape[0] if cols else n_rows,
-                              dtype=jnp.int32)
+            codes = jnp.zeros(n_rows, dtype=jnp.int32)
         if mask is not None:
             codes = jnp.where(mask, codes, NC)
-        cnt = jax.ops.segment_sum(
-            jnp.ones_like(codes, dtype=jnp.int32), codes,
-            num_segments=NC + 1)
-        idx = jnp.arange(codes.shape[0], dtype=jnp.int32)
-        fidx = jax.ops.segment_min(idx, codes, num_segments=NC + 1)
-        outs_d = []
-        for (sid, name, inner), mp in zip(aggs, agg_maps):
-            arr = jnp.asarray(inner.fn(sub_env(mp)))
-            r = _agg_dense(name, inner.rtype, arr, codes, NC + 1)
-            outs_d.append(r)
-        return cnt, fidx, outs_d
+
+        arrs = {}
+        rtypes = {}
+        for a in aggs:
+            cid = id(a.inner)
+            if a.name != "count" and cid not in arrs:
+                arrs[cid] = jnp.asarray(a.inner.fn(sub_env(
+                    agg_maps[cid])))
+                rtypes[cid] = a.inner.rtype
+
+        P = G.Packer()
+
+        # ---- matmul tasks: counts + null counts + integer limb sums ----
+        tasks = [("counts", jnp.ones(n_rows, jnp.float32))]
+        for cid in sorted(need_nullcnt):
+            nm = _null_mask(arrs[cid], rtypes[cid])
+            tasks.append((f"nullcnt{cid}", nm.astype(jnp.float32)))
+        for cid in sorted(need_limbs):
+            lo, hi = need_limbs[cid]
+            nv = T.NULL_BY_TYPE.get(rtypes[cid])
+            limbs, _nw, _bias = G.int_limb_weights(arrs[cid], nv, lo, hi)
+            for i, lb in enumerate(limbs):
+                tasks.append((f"limb{cid}_{i}", lb))
+
+        dense = G.matmul_tasks_scan(codes, [w for _, w in tasks],
+                                    NC + 1, n_rows)
+        for (nm, _), d in zip(tasks, dense):
+            if nm.startswith("limb"):
+                P.add(nm, d[:NC])                      # f64, exact ints
+            else:
+                P.add(nm, d[:NC].astype(jnp.int64))    # counts
+
+        if small:
+            sums, s_names = [], []
+            mins, mn_names = [], []
+            maxs, mx_names = [], []
+            for cid in sorted(need_fsum):
+                arr = arrs[cid]
+                sums.append(jnp.where(jnp.isnan(arr), 0.0, arr))
+                s_names.append(f"fsum{cid}")
+            for cid in sorted(need_min):
+                mins.append(_minmax_payload(arrs[cid], rtypes[cid],
+                                            True))
+                mn_names.append(f"min{cid}")
+            for cid in sorted(need_max):
+                maxs.append(_minmax_payload(arrs[cid], rtypes[cid],
+                                            False))
+                mx_names.append(f"max{cid}")
+            bc = G.bcast_scan(codes, NC, n_rows, sums=tuple(sums),
+                              mins=tuple(mins), maxs=tuple(maxs),
+                              want_counts=False, want_fidx=True)
+            P.add("fidx", bc["fidx"])
+            P.add("lidx", bc["lidx"])
+            for i, nm in enumerate(s_names):
+                P.add(nm, bc[f"sum{i}"])
+            for i, nm in enumerate(mn_names):
+                P.add(nm, bc[f"min{i}"])
+            for i, nm in enumerate(mx_names):
+                P.add(nm, bc[f"max{i}"])
+        else:
+            # ---- ONE stable sort covers order, extrema, f64 sums ----
+            payloads, p_specs = [], []
+            for cid in sorted(need_fsum):
+                arr = arrs[cid]
+                payloads.append(jnp.where(jnp.isnan(arr), 0.0, arr))
+                p_specs.append(("fsum", cid))
+            for cid in sorted(need_min):
+                payloads.append(_minmax_payload(arrs[cid],
+                                                rtypes[cid], True))
+                p_specs.append(("min", cid))
+            for cid in sorted(need_max):
+                payloads.append(_minmax_payload(arrs[cid],
+                                                rtypes[cid], False))
+                p_specs.append(("max", cid))
+            iota = jnp.arange(n_rows, dtype=jnp.int32)
+            sorted_ = jax.lax.sort([codes, iota] + payloads,
+                                   num_keys=1, is_stable=True)
+            sc, siota = sorted_[0], sorted_[1]
+            spay = sorted_[2:]
+            counts_nc = dense[0][:NC]                    # f64, exact
+            cnt = counts_nc.astype(jnp.int64)
+            starts = jnp.concatenate(
+                [jnp.zeros(1, jnp.int64), jnp.cumsum(cnt)[:-1]])
+            ends = starts + cnt
+            sa = jnp.clip(starts, 0, n_rows - 1).astype(jnp.int32)
+            ea = jnp.clip(ends - 1, 0, n_rows - 1).astype(jnp.int32)
+            P.add("fidx", siota[sa].astype(jnp.int64))
+            P.add("lidx", siota[ea].astype(jnp.int64))
+            for (kind, cid), pay in zip(p_specs, spay):
+                if kind == "fsum":
+                    P.add(f"fsum{cid}",
+                          G.seg_sum_from_cumsum(pay, starts, ends))
+                elif kind == "min":
+                    P.add(f"min{cid}", G.seg_doubling_min(sc, pay)[ea])
+                else:
+                    P.add(f"max{cid}", G.seg_doubling_max(sc, pay)[ea])
+
+        bufs, layout = P.pack()
+        lanes_meta["layout"] = layout
+        return bufs
 
     plan = _Plan()
-    plan.fn = jax.jit(pipeline)
+    plan.fn = jax.jit(pipeline, out_shardings=dev.host_sharding())
     plan.col_objs = col_objs
     plan.key_meta = key_meta
     plan.aggs = aggs
     plan.n_codes = n_codes
-    plan.by_names = [m[0] for m in key_meta]
-    plan.out_sids = [a[0] for a in aggs]
+    plan.small = small
+    plan.lanes_meta = lanes_meta
+
+    for a in aggs:
+        cid = id(a.inner)
+        if a.name == "count":
+            continue
+        a.meta["nullcnt"] = f"nullcnt{cid}"
+        if a.name in ("sum", "avg") and a.inner.rtype in INT_LIKE:
+            lo, hi = need_limbs[cid]
+            if lo is not None and hi >= lo:
+                width = max((hi - lo).bit_length(), 1)
+                bias = -lo
+            else:
+                width, bias = 64, 1 << 63
+            n_limbs = -(-width // G.LIMB_BITS)
+            a.meta["limbs"] = [f"limb{cid}_{i}" for i in range(n_limbs)]
+            a.meta["bias"] = bias
+        elif a.name in ("sum", "avg"):
+            a.meta["fsum"] = f"fsum{cid}"
+        elif a.name == "min":
+            a.meta["key"] = f"min{cid}"
+        elif a.name == "max":
+            a.meta["key"] = f"max{cid}"
     return plan
+
+
+def _host_gather(col_obj: Obj, idx: np.ndarray) -> Obj:
+    """first/last: gather column values at group row ids on the host."""
+    from ..ops.compose import gather
+    return gather(col_obj, idx.astype(np.int64))
+
+
+_warned = [False]
+
+
+def warn_fallback(e):
+    if not _warned[0]:
+        _warned[0] = True
+        print(f"rayforce-tpu: device select path disabled by error "
+              f"({type(e).__name__}: {str(e)[:200]}); using host path",
+              file=sys.stderr)
 
 
 def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
@@ -249,73 +430,95 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         return None
 
     cols = [dev.dev_col(c) for c in plan.col_objs]
-    res = plan.fn(*cols)
-    # ONE host transfer for the whole result pytree: each np.asarray is a
-    # separate device->host round trip, and tunnel latency dominates.
-    cnt, fidx, outs_d = jax.device_get(res)
-    cnt = np.asarray(cnt)[:plan.n_codes]
-    fidx = np.asarray(fidx)[:plan.n_codes]
-    occ = np.nonzero(cnt > 0)[0]
+    bufs = plan.fn(*cols)
+    bufs = jax.device_get(bufs)     # ONE batched device->host transfer
+    lanes = G.unpack(bufs, plan.lanes_meta["layout"])
+
+    counts = lanes["counts"]
+    fidx = lanes["fidx"]
+    occ = np.nonzero(counts > 0)[0]
     order = occ[np.argsort(fidx[occ], kind="stable")]
+    counts_o = counts[order]
+    fidx_o = fidx[order]
+    lidx_o = lanes["lidx"][order]
 
     out_names: list[int] = []
     out_cols: list[Obj] = []
+
     # decode key values arithmetically from dense slot ids
     slots = order.copy()
     muls = []
     m = 1
-    for _nm, _lo, rng, _rt in reversed(plan.key_meta):
-        muls.append((m, rng))
+    for _nm, _lo, rng, _rt, _dom in reversed(plan.key_meta):
+        muls.append(m)
         m *= rng
     muls.reverse()
-    for (nm, lo, rng, rt), (mul, _r) in zip(plan.key_meta, muls):
+    for (nm, lo, rng, rt, dom), mul in zip(plan.key_meta, muls):
         vals = (slots // mul) % rng + lo
         out_names.append(nm)
-        if rt == T.SYMBOL:
+        if dom is not None:
+            out_cols.append(Obj(T.SYMBOL, dom[vals].astype(np.int64)))
+        elif rt == T.SYMBOL:
             out_cols.append(Obj(T.SYMBOL, vals.astype(np.int64)))
         else:
             out_cols.append(Obj(rt, vals.astype(T.DTYPE[rt])))
-    counts_comp = cnt[order].astype(np.int64)
-    for (sid, name, inner), dense in zip(plan.aggs, outs_d):
-        rt = inner.rtype
-        if name == "count":
-            out_cols.append(Obj(T.I64, np.asarray(dense)[
-                :plan.n_codes][order].astype(np.int64)))
-            out_names.append(sid)
+
+    for a in plan.aggs:
+        out_names.append(a.sid)
+        rt = a.inner.rtype if a.name != "count" else T.I64
+        if a.name == "count":
+            out_cols.append(Obj(T.I64, counts_o.astype(np.int64)))
             continue
-        if name == "avg":
-            s, c = dense
-            s = np.asarray(s)[:plan.n_codes][order]
-            c = np.asarray(c)[:plan.n_codes][order]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                v = np.asarray(s, dtype=np.float64) / c
-            v = np.where(c == 0, T.NULL_F64, v)
-            out_cols.append(Obj(T.F64, v))
-            out_names.append(sid)
+        if a.name in ("first", "last"):
+            idx = fidx_o if a.name == "first" else lidx_o
+            out_cols.append(_host_gather(a.inner.cols[0].col, idx))
             continue
-        if name in ("min", "max") and rt == T.F64:
-            vv, empty = dense
-            v = np.asarray(vv)[:plan.n_codes][order]
-            emp = np.asarray(empty)[:plan.n_codes][order]
-            v = np.where(emp, T.NULL_F64, v)
-            out_cols.append(Obj(T.F64, v))
-            out_names.append(sid)
-            continue
-        v = np.asarray(dense)[:plan.n_codes][order]
-        if name == "sum":
-            ot = {T.I32: T.I32, T.F64: T.F64}.get(rt, T.I64)
-            out_cols.append(Obj(ot, v.astype(T.DTYPE[ot])))
-        elif name in ("min", "max"):
-            if rt == T.SYMBOL:
-                out_cols.append(Obj(T.SYMBOL, v.astype(np.int64)))
+        nullc = lanes[a.meta["nullcnt"]][order]
+        if a.name in ("min", "max"):
+            k = lanes[a.meta["key"]][order]
+            empty = nullc == counts_o
+            if rt == T.F64:
+                v = np.where(empty, T.NULL_F64, k)
+                out_cols.append(Obj(T.F64, v.astype(np.float64)))
             else:
-                out_cols.append(Obj(rt, v.astype(T.DTYPE[rt])))
-        else:  # first / last
-            if rt == T.SYMBOL:
-                out_cols.append(Obj(T.SYMBOL, v.astype(np.int64)))
+                nv = T.NULL_BY_TYPE.get(rt, T.NULL_I64)
+                v = np.where(empty, np.int64(nv), k)
+                if rt == T.SYMBOL:
+                    out_cols.append(Obj(T.SYMBOL, v.astype(np.int64)))
+                else:
+                    out_cols.append(Obj(rt, v.astype(T.DTYPE[rt])))
+            continue
+        # sum / avg — both SKIP nulls (oracle: (sum [1 0Nl 3]) -> 4;
+        # empty/all-null int sum is 0, f64 sum is 0.0)
+        if rt in INT_LIKE:
+            limb_sums = [lanes[nm][order] for nm in a.meta["limbs"]]
+            tot = G.recombine_limbs(limb_sums, a.meta["bias"],
+                                    counts_o, nullc)
+            if a.name == "sum":
+                wrapped = ((tot.astype(object) + (1 << 63)) %
+                           (1 << 64)) - (1 << 63)
+                vals = np.array([int(x) for x in wrapped],
+                                dtype=np.int64)
+                ot = SUM_OUT.get(rt, T.I64)
+                out_cols.append(Obj(ot, vals.astype(T.DTYPE[ot])))
+            else:  # avg
+                eff = (counts_o - nullc).astype(np.float64)
+                num = np.array([float(x) for x in tot],
+                               dtype=np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    v = num / eff
+                v = np.where(eff == 0, T.NULL_F64, v)
+                out_cols.append(Obj(T.F64, v))
+        else:  # f64
+            s = lanes[a.meta["fsum"]][order]
+            if a.name == "sum":
+                out_cols.append(Obj(T.F64, s.copy()))
             else:
-                out_cols.append(Obj(rt, v.astype(T.DTYPE[rt])))
-        out_names.append(sid)
+                eff = (counts_o - nullc).astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    v = s / eff
+                v = np.where(eff == 0, T.NULL_F64, v)
+                out_cols.append(Obj(T.F64, v))
 
     return table(Obj(T.SYMBOL, np.asarray(out_names, dtype=np.int64)),
                  out_cols)

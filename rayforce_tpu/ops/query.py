@@ -190,8 +190,10 @@ def _try_device_select(interp, d: Obj):
         if out is not None and lim is not None:
             out = _apply_take(out, lim)
         return out
-    except Exception:
+    except Exception as e:
         import os
+        from ..engine.select import warn_fallback
+        warn_fallback(e)
         if os.environ.get("RAYFORCE_DEBUG"):
             import traceback
             traceback.print_exc()
