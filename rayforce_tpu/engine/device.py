@@ -71,7 +71,7 @@ def host_sharding():
 
 # -- column device cache ----------------------------------------------------
 
-_STATLESS = (T.F64, T.GUID, T.C8, T.LIST)
+_STATLESS = (T.GUID, T.C8, T.LIST)
 
 
 def dev_col(col: Obj):
@@ -87,8 +87,18 @@ def dev_col(col: Obj):
 
 @jax.jit
 def _k_minmax_all(cols):
+    """Per column: (min, max, has_null) skipping nulls/NaNs. has_null
+    lets query plans drop per-group null-count matmul tasks (each one
+    costs ~n_cells * rows MXU work)."""
     outs = []
     for a in cols:
+        if a.dtype == jnp.float64:
+            nulls = jnp.isnan(a)
+            lo = jnp.where(nulls, jnp.float64(np.inf), a).min()
+            hi = jnp.where(nulls, jnp.float64(-np.inf), a).max()
+            outs.append(jnp.stack([lo, hi,
+                                   nulls.any().astype(jnp.float64)]))
+            continue
         nv = None
         if a.dtype == jnp.int64:
             nv = np.int64(T.NULL_I64)
@@ -103,16 +113,18 @@ def _k_minmax_all(cols):
                            x).min()
             hi = jnp.where(nulls, jnp.int64(-0x8000000000000000),
                            x).max()
+            anyn = nulls.any().astype(jnp.int64)
         else:
             lo = x.min()
             hi = x.max()
-        outs.append(jnp.stack([lo, hi]))
-    return jnp.stack(outs)
+            anyn = jnp.int64(0)
+        outs.append(jnp.stack([lo, hi, anyn]))
+    return outs
 
 
 def put_table(tbl: Obj) -> None:
     """Pre-stage all columns of a table into HBM and batch-compute
-    integer column min/max stats with a single transfer."""
+    column min/max stats (null/NaN-skipping) with a single transfer."""
     _, cols = tbl.v
     statless = []
     arrs = []
@@ -125,18 +137,34 @@ def put_table(tbl: Obj) -> None:
             statless.append(c)
             arrs.append(a)
     if arrs:
-        mm = np.asarray(_k_minmax_all(arrs))
-        for c, (lo, hi) in zip(statless, mm):
-            c.meta["range"] = (int(lo), int(hi))
+        mm = jax.device_get(_k_minmax_all(arrs))
+        for c, lh in zip(statless, mm):
+            _cache_stats(c, lh)
+
+
+def _cache_stats(c, lh):
+    if c.t == T.F64:
+        c.meta["range"] = (float(lh[0]), float(lh[1]))
+    else:
+        c.meta["range"] = (int(lh[0]), int(lh[1]))
+    c.meta["has_null"] = bool(lh[2])
+
+
+def _ensure_stats(col: Obj):
+    if not (isinstance(col.meta, dict) and "range" in col.meta):
+        lh = jax.device_get(_k_minmax_all([dev_col(col)]))[0]
+        if not isinstance(col.meta, dict):
+            col.meta = {}
+        _cache_stats(col, lh)
 
 
 def column_range(col: Obj):
-    """(min, max) of an integer column ignoring nulls, cached."""
-    if isinstance(col.meta, dict) and "range" in col.meta:
-        return col.meta["range"]
-    mm = np.asarray(_k_minmax_all([dev_col(col)]))[0]
-    lo, hi = int(mm[0]), int(mm[1])
-    if not isinstance(col.meta, dict):
-        col.meta = {}
-    col.meta["range"] = (lo, hi)
-    return lo, hi
+    """(min, max) of a column ignoring nulls/NaNs, cached. Integer
+    ranges are exact; f64 ranges are the device's (f32-pair) values."""
+    _ensure_stats(col)
+    return col.meta["range"]
+
+
+def column_has_null(col: Obj) -> bool:
+    _ensure_stats(col)
+    return col.meta["has_null"]

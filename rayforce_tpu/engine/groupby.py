@@ -147,6 +147,36 @@ def int_limb_weights(arr, null_val, lo: int | None, hi: int | None):
     return limbs, nulls.astype(jnp.float32), bias
 
 
+F64_LIMBS = 7   # 53-bit fixed-point mantissa -> 7 x 8-bit limbs
+
+
+def f64_fixed_scale(lo: float, hi: float):
+    """Power-of-two scale mapping [lo, hi] onto [0, 2^53): group sums
+    via integer limb matmuls then carry error <= N * 2^-52 * span —
+    BETTER than sequential f64 summation (and far better than this
+    device's emulated-f64 adds). Returns the exponent k (S = 2^k), or
+    None when the range is unusable."""
+    if not (np.isfinite(lo) and np.isfinite(hi)) or hi < lo:
+        return None
+    span = max(hi - lo, 5e-324)
+    k = 52 - int(np.ceil(np.log2(span))) if span > 0 else 52
+    if not -1000 <= k <= 1000:
+        return None
+    return k
+
+
+def f64_fixed_weights(arr, lo: float, k: int):
+    """NaN-skipping fixed-point quantization of f64 into 8-bit limb
+    f32 weights: q = round((v - lo) * 2^k) in [0, 2^53)."""
+    nulls = jnp.isnan(arr)
+    S = float(2.0 ** k)
+    q = jnp.round((jnp.where(nulls, lo, arr) - lo) * S)
+    q = jnp.maximum(q, 0.0).astype(jnp.int64).astype(jnp.uint64)
+    limbs = [((q >> (LIMB_BITS * i)) & LIMB_MASK).astype(jnp.float32)
+             for i in range(F64_LIMBS)]
+    return limbs
+
+
 def recombine_limbs(limb_sums: list[np.ndarray], bias: int,
                     counts: np.ndarray, null_counts: np.ndarray):
     """Host-side exact recombination of per-group limb sums (f64,
@@ -237,67 +267,114 @@ def bcast_scan(codes, n: int, n_rows: int, sums=(), mins=(), maxs=(),
 
 # -- sorted-segment kernels ---------------------------------------------------
 
-def seg_doubling_min(seg_ids, vals):
-    """Inclusive segmented min over vals within runs of equal seg_ids
-    (seg_ids sorted ascending). log2(n) shift+min steps — the TPU
-    replacement for a segmented reduce (lax.cummax/associative_scan
-    hang on this backend). Works for i64 keys and f64 values."""
-    lim = jnp.float64(np.inf) if vals.dtype == jnp.float64 else \
-        jnp.int64(KEY_MAX)
+_SEG_B = 1024   # intra-block width for the two-level segmented scan
+
+
+def _identity_for(vals, op):
+    if vals.dtype == jnp.float64:
+        return {"min": jnp.float64(np.inf),
+                "max": jnp.float64(-np.inf),
+                "sum": jnp.float64(0.0)}[op]
+    return {"min": jnp.int64(KEY_MAX), "max": jnp.int64(I64_MIN),
+            "sum": jnp.int64(0)}[op]
+
+
+def _apply(op, a, b):
+    if op == "min":
+        return jnp.minimum(a, b)
+    if op == "max":
+        return jnp.maximum(a, b)
+    return a + b
+
+
+def _seg_scan(seg_ids, vals, op):
+    """Inclusive segmented scan over runs of equal seg_ids (sorted
+    ascending) — the TPU replacement for a segmented reduce
+    (lax.cummax / associative_scan HANG on this backend; scatter is
+    ~90 ms). Two-level log-doubling: ~log2(B) full-width shift+op
+    steps inside 1024-wide blocks, then a tiny block-summary scan and
+    one combine pass — less than half the memory traffic of flat
+    doubling over 10M rows."""
+    ident = _identity_for(vals, op)
     n = vals.shape[0]
-    m = vals
+    R = -(-n // _SEG_B)
+    pad = R * _SEG_B - n
+    s2 = jnp.concatenate(
+        [seg_ids, jnp.full((pad,), -2, seg_ids.dtype)]) \
+        .reshape(R, _SEG_B)
+    m = jnp.concatenate(
+        [vals, jnp.full((pad,), ident, vals.dtype)]).reshape(R, _SEG_B)
+
     d = 1
-    while d < n:
-        same = seg_ids[d:] == seg_ids[:-d]
-        shifted = jnp.where(same, m[:-d], lim)
-        m = jnp.concatenate([m[:d], jnp.minimum(m[d:], shifted)])
+    while d < _SEG_B:
+        same = s2[:, d:] == s2[:, :-d]
+        shifted = jnp.where(same, m[:, :-d], ident)
+        m = jnp.concatenate([m[:, :d], _apply(op, m[:, d:], shifted)],
+                            axis=1)
         d *= 2
-    return m
+
+    # block summaries: segmented scan over block tail values, with
+    # flags = boundary inside the block OR at its left joint
+    first_seg = s2[:, 0]
+    carry_seg = s2[:, -1]
+    cv = m[:, -1]
+    internal = first_seg != carry_seg
+    joint = jnp.concatenate(
+        [jnp.ones(1, bool), first_seg[1:] != carry_seg[:-1]])
+    g = internal | joint
+    d = 1
+    while d < R:
+        ga, gb = g[:-d], g[d:]
+        combined = _apply(op, cv[:-d], cv[d:])
+        cv = jnp.concatenate(
+            [cv[:d], jnp.where(gb, cv[d:], combined)])
+        g = jnp.concatenate([g[:d], ga | gb])
+        d *= 2
+    # exclusive prefix for each block r = inclusive at r-1 when chained
+    pfx = jnp.concatenate([jnp.full(1, ident, vals.dtype), cv[:-1]])
+    pfx = jnp.where(joint, ident, pfx)
+    in_first_run = s2 == first_seg[:, None]
+    m = jnp.where(in_first_run, _apply(op, m, pfx[:, None]), m)
+    return m.reshape(R * _SEG_B)[:n]
+
+
+def seg_doubling_min(seg_ids, vals):
+    return _seg_scan(seg_ids, vals, "min")
 
 
 def seg_doubling_max(seg_ids, vals):
-    lim = jnp.float64(-np.inf) if vals.dtype == jnp.float64 else \
-        jnp.int64(I64_MIN)
-    n = vals.shape[0]
-    m = vals
-    d = 1
-    while d < n:
-        same = seg_ids[d:] == seg_ids[:-d]
-        shifted = jnp.where(same, m[:-d], lim)
-        m = jnp.concatenate([m[:d], jnp.maximum(m[d:], shifted)])
-        d *= 2
-    return m
+    return _seg_scan(seg_ids, vals, "max")
 
 
-def seg_sum_from_cumsum(sorted_vals_f64, starts, ends):
-    """Per-group f64 sums from a global cumsum over null-zeroed sorted
-    values; boundary diffs."""
-    cs = jnp.cumsum(sorted_vals_f64)
-    hi = jnp.where(ends > 0, cs[jnp.maximum(ends - 1, 0)], 0.0)
-    lo = jnp.where(starts > 0, cs[jnp.maximum(starts - 1, 0)], 0.0)
-    return hi - lo
+def seg_doubling_sum(seg_ids, vals):
+    return _seg_scan(seg_ids, vals, "sum")
 
 
 # -- output packing -----------------------------------------------------------
 
 class Packer:
-    """Accumulates device output lanes into TWO stacked buffers (i64
-    and f64 — bitcasting between 64-bit types is unsupported here), so
-    a query result crosses the relay in one batched transfer."""
+    """Accumulates device output lanes into THREE stacked buffers (i64,
+    f64, i32 — bitcasting between 64-bit types is unsupported here and
+    narrow lanes halve the ~31 MB/s relay fetch), so a query result
+    crosses the relay in one batched transfer."""
+
+    DTYPES = (jnp.int64, jnp.float64, jnp.int32)
 
     def __init__(self):
-        self.i_lanes, self.i_names = [], []
-        self.f_lanes, self.f_names = [], []
+        self.lanes = ([], [], [])
+        self.names = ([], [], [])
 
     def add(self, name: str, arr):
         if arr.dtype == jnp.float64:
-            self.f_lanes.append(arr)
-            self.f_names.append(name)
+            b = 1
+        elif arr.dtype == jnp.int32:
+            b = 2
         else:
+            b = 0
             if arr.dtype != jnp.int64:
                 arr = arr.astype(jnp.int64)
-            self.i_lanes.append(arr)
-            self.i_names.append(name)
+        self.lanes[b].append(arr)
+        self.names[b].append(name)
 
     @staticmethod
     def _stack(lanes, dtype):
@@ -310,18 +387,17 @@ class Packer:
         return jnp.stack(padded)
 
     def pack(self):
-        layout = (
-            [(nm, 0, int(a.shape[0]))
-             for nm, a in zip(self.i_names, self.i_lanes)] +
-            [(nm, 1, int(a.shape[0]))
-             for nm, a in zip(self.f_names, self.f_lanes)])
-        return (self._stack(self.i_lanes, jnp.int64),
-                self._stack(self.f_lanes, jnp.float64)), layout
+        layout = []
+        for b in range(3):
+            layout += [(nm, b, int(a.shape[0]))
+                       for nm, a in zip(self.names[b], self.lanes[b])]
+        return tuple(self._stack(self.lanes[b], self.DTYPES[b])
+                     for b in range(3)), layout
 
 
 def unpack(bufs, layout):
     out = {}
-    idx = [0, 0]
+    idx = [0, 0, 0]
     for nm, b, ln in layout:
         out[nm] = bufs[b][idx[b], :ln]
         idx[b] += 1

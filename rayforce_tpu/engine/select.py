@@ -1,10 +1,12 @@
 """Device fast path for select: fused filter + group + aggregate.
 
-The entire query — where-mask, dense group codes, and every aggregate —
-traces into ONE jitted function whose outputs are packed into two
-stacked buffers (i64 + f64) placed in pinned host memory: per query
-execution the host pays one execute round trip and one batched transfer
-(~30 ms each on the relay), with kernel time on top.
+The entire query — where-mask, dense group codes, every aggregate, and
+the final first-appearance ordering — traces into ONE jitted function.
+Aggregates are FINALIZED on device (limb recombination, avg division,
+null fixes, output ordering via a dense argsort on first-row ids), so
+the fetched lanes are exactly the output columns: the host pays one
+execute round trip plus one batched transfer of ~output-table bytes
+(the relay moves ~31 MB/s and each extra round trip costs ~30 ms).
 
 Kernel strategy (see engine/groupby.py for the measured playbook —
 no scatters, no 64-bit bitcasts, ever):
@@ -14,18 +16,17 @@ no scatters, no 64-bit bitcasts, ever):
 - n_codes <= SMALL_N: one chunked (L, n) broadcast-mask scan computes
   first/last row ids, f64 sums, and min/max directly;
 - larger n: counts + exact integer limb sums via factored one-hot MXU
-  matmuls; if any aggregate needs order/extrema/f64 sums, ONE stable
-  sort [codes, iota, payloads...] + log-doubling segmented scans +
-  cumsum boundary diffs;
-- group keys are decoded arithmetically from dense slot ids on the
-  host; first/last values are host-side gathers at the fetched row ids.
+  matmuls; extrema/f64 sums/order ride ONE stable sort
+  [codes, iota, payloads...] + log-doubling segmented scans;
+- group keys are decoded arithmetically from ordered dense slot ids on
+  the host; first/last values are host-side gathers at fetched row ids.
 
-Aggregate null semantics mirror the reference exactly (ops.h:136-190):
-sum propagates nulls (any null in group -> typed null), avg/min/max
-skip nulls (all-null group -> typed null), count counts all rows.
-Group order is first-appearance (core/index.c group-id assignment),
-recovered from per-group first row ids. Plans are cached by a
-structural fingerprint of the query AST and its column identities.
+Aggregate null semantics are oracle-pinned (tools/oracle.py against the
+reference binary): sum/avg SKIP nulls (empty int sum = 0, f64 = 0.0),
+min/max skip nulls (all-null group -> typed null), count counts all
+rows. Group order is first-appearance (core/index.c group-id
+assignment). Plans are cached by a structural fingerprint of the query
+AST and its column identities.
 """
 from __future__ import annotations
 
@@ -50,6 +51,8 @@ INT_LIKE = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
 SUM_OUT = {T.U8: T.I64, T.I16: T.I64, T.I32: T.I32, T.I64: T.I64}
 MINMAX_OK = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
              T.TIMESTAMP, T.F64)
+NARROW = (T.B8, T.U8, T.I16, T.I32, T.DATE, T.TIME)  # fits an i32 lane
+F64_EXACT = 1 << 53
 
 
 def _fingerprint(ast: Obj) -> str:
@@ -86,7 +89,7 @@ class _Agg:
 
 class _Plan:
     __slots__ = ("fn", "col_objs", "key_meta", "aggs", "n_codes",
-                 "lanes_meta", "small")
+                 "lanes_meta")
 
 
 def _null_mask(arr, rtype):
@@ -181,14 +184,14 @@ def _build_plan(src, outs, where_ast, by_ast):
             return None  # host raises err_type; keep that behavior
         if name in ("min", "max") and inner.rtype not in MINMAX_OK:
             return None
-        if name == "first" or name == "last":
-            pass
-        elif name != "count" and inner.rtype not in INT_LIKE + (T.F64,):
-            return None
         if name in ("first", "last") and (
                 len(inner.cols) != 1 or ast.v[1].t != -T.SYMBOL):
             return None  # first/last of derived exprs -> host path
-        aggs.append(_Agg(sid, name, inner))
+        ag = _Agg(sid, name, inner)
+        ag.meta["plain_col"] = (name != "count" and
+                                len(inner.cols) == 1 and
+                                ast.v[1].t == -T.SYMBOL)
+        aggs.append(ag)
 
     small = n_codes <= G.SMALL_N
 
@@ -211,17 +214,29 @@ def _build_plan(src, outs, where_ast, by_ast):
     agg_maps = {id(a.inner): assign(a.inner) for a in aggs}
 
     # per-column requirements (deduped by compiled-expression identity)
-    need_nullcnt = set()   # cids needing a per-group null count
+    need_nullcnt = set()
     need_limbs = {}        # cid -> (lo, hi) stats or (None, None)
-    need_fsum = set()      # f64 sum/avg cids
+    need_fixed = {}        # cid -> (lo, k): f64 fixed-point sums
+    need_fsum = set()      # f64 sums via the sort path (no stats)
     need_min = set()
     need_max = set()
+    def may_null(a):
+        """False only for a plain column whose cached stats prove it
+        null-free — lets the plan drop the null-count matmul task."""
+        if not a.meta.get("plain_col"):
+            return True
+        try:
+            return dev.column_has_null(a.inner.cols[0].col)
+        except Exception:
+            return True
+
     for a in aggs:
         cid = id(a.inner)
         if a.name in ("sum", "avg"):
-            need_nullcnt.add(cid)
+            if may_null(a):
+                need_nullcnt.add(cid)   # eff count for bias/avg
             if a.inner.rtype in INT_LIKE:
-                if len(a.inner.cols) == 1:
+                if a.meta["plain_col"]:
                     try:
                         need_limbs[cid] = dev.column_range(
                             a.inner.cols[0].col)
@@ -230,13 +245,44 @@ def _build_plan(src, outs, where_ast, by_ast):
                 else:
                     need_limbs[cid] = (None, None)
             else:
-                need_fsum.add(cid)
-        elif a.name == "min":
-            need_nullcnt.add(cid)
-            need_min.add(cid)
-        elif a.name == "max":
-            need_nullcnt.add(cid)
-            need_max.add(cid)
+                # fixed-point matmul only pays off mid-cardinality:
+                # each extra task costs ~n_cells*rows MXU work, vs a
+                # ~20ms doubling-sum riding the (always-needed) sort
+                k = None
+                if G.SMALL_N < n_codes <= (1 << 14) and \
+                        a.meta["plain_col"] and \
+                        a.inner.cols[0].col.t == T.F64:
+                    try:
+                        lo, hi = dev.column_range(a.inner.cols[0].col)
+                        k = G.f64_fixed_scale(lo, hi)
+                    except Exception:
+                        k = None
+                if k is not None:
+                    need_fixed[cid] = (lo, k)
+                else:
+                    need_fsum.add(cid)
+        elif a.name in ("min", "max"):
+            if may_null(a):
+                need_nullcnt.add(cid)
+            (need_min if a.name == "min" else need_max).add(cid)
+            if a.meta["plain_col"] and a.inner.rtype in \
+                    (T.I64, T.TIMESTAMP, T.SYMBOL):
+                try:
+                    a.meta["vrange"] = dev.column_range(
+                        a.inner.cols[0].col)
+                except Exception:
+                    pass
+
+    def limb_meta(cid, rtype):
+        lo, hi = need_limbs[cid]
+        if lo is not None and hi >= lo:
+            width = max((hi - lo).bit_length(), 1)
+            bias = -lo
+            bound = max(abs(lo), abs(hi)) * n_rows   # |group sum| bound
+        else:
+            width, bias, bound = 64, 1 << 63, 1 << 63
+        n_limbs = -(-width // G.LIMB_BITS)
+        return n_limbs, bias, bound
 
     NC = n_codes
     lanes_meta = {}
@@ -269,8 +315,6 @@ def _build_plan(src, outs, where_ast, by_ast):
                     agg_maps[cid])))
                 rtypes[cid] = a.inner.rtype
 
-        P = G.Packer()
-
         # ---- matmul tasks: counts + null counts + integer limb sums ----
         tasks = [("counts", jnp.ones(n_rows, jnp.float32))]
         for cid in sorted(need_nullcnt):
@@ -279,18 +323,21 @@ def _build_plan(src, outs, where_ast, by_ast):
         for cid in sorted(need_limbs):
             lo, hi = need_limbs[cid]
             nv = T.NULL_BY_TYPE.get(rtypes[cid])
-            limbs, _nw, _bias = G.int_limb_weights(arrs[cid], nv, lo, hi)
+            limbs, _nw, _b = G.int_limb_weights(arrs[cid], nv, lo, hi)
             for i, lb in enumerate(limbs):
                 tasks.append((f"limb{cid}_{i}", lb))
+        for cid in sorted(need_fixed):
+            flo, fk = need_fixed[cid]
+            limbs = G.f64_fixed_weights(arrs[cid], flo, fk)
+            for i, lb in enumerate(limbs):
+                tasks.append((f"flimb{cid}_{i}", lb))
 
         dense = G.matmul_tasks_scan(codes, [w for _, w in tasks],
                                     NC + 1, n_rows)
-        for (nm, _), d in zip(tasks, dense):
-            if nm.startswith("limb"):
-                P.add(nm, d[:NC])                      # f64, exact ints
-            else:
-                P.add(nm, d[:NC].astype(jnp.int64))    # counts
+        mm = {nm: d[:NC] for (nm, _), d in zip(tasks, dense)}
+        counts = mm["counts"]                       # f64, exact ints
 
+        agg_raw = {}   # lane name -> dense device array (pre-order)
         if small:
             sums, s_names = [], []
             mins, mn_names = [], []
@@ -310,14 +357,14 @@ def _build_plan(src, outs, where_ast, by_ast):
             bc = G.bcast_scan(codes, NC, n_rows, sums=tuple(sums),
                               mins=tuple(mins), maxs=tuple(maxs),
                               want_counts=False, want_fidx=True)
-            P.add("fidx", bc["fidx"])
-            P.add("lidx", bc["lidx"])
+            fidx = bc["fidx"]                # KEY_MAX for empty groups
+            lidx = bc["lidx"]
             for i, nm in enumerate(s_names):
-                P.add(nm, bc[f"sum{i}"])
+                agg_raw[nm] = bc[f"sum{i}"]
             for i, nm in enumerate(mn_names):
-                P.add(nm, bc[f"min{i}"])
+                agg_raw[nm] = bc[f"min{i}"]
             for i, nm in enumerate(mx_names):
-                P.add(nm, bc[f"max{i}"])
+                agg_raw[nm] = bc[f"max{i}"]
         else:
             # ---- ONE stable sort covers order, extrema, f64 sums ----
             payloads, p_specs = [], []
@@ -338,23 +385,123 @@ def _build_plan(src, outs, where_ast, by_ast):
                                    num_keys=1, is_stable=True)
             sc, siota = sorted_[0], sorted_[1]
             spay = sorted_[2:]
-            counts_nc = dense[0][:NC]                    # f64, exact
-            cnt = counts_nc.astype(jnp.int64)
+            cnt = counts.astype(jnp.int64)
             starts = jnp.concatenate(
                 [jnp.zeros(1, jnp.int64), jnp.cumsum(cnt)[:-1]])
             ends = starts + cnt
             sa = jnp.clip(starts, 0, n_rows - 1).astype(jnp.int32)
             ea = jnp.clip(ends - 1, 0, n_rows - 1).astype(jnp.int32)
-            P.add("fidx", siota[sa].astype(jnp.int64))
-            P.add("lidx", siota[ea].astype(jnp.int64))
+            occ_d = counts > 0
+            fidx = jnp.where(occ_d, siota[sa].astype(jnp.int64),
+                             jnp.int64(G.KEY_MAX))
+            lidx = siota[ea].astype(jnp.int64)
             for (kind, cid), pay in zip(p_specs, spay):
                 if kind == "fsum":
-                    P.add(f"fsum{cid}",
-                          G.seg_sum_from_cumsum(pay, starts, ends))
+                    agg_raw[f"fsum{cid}"] = G.seg_doubling_sum(
+                        sc, pay)[ea]
                 elif kind == "min":
-                    P.add(f"min{cid}", G.seg_doubling_min(sc, pay)[ea])
+                    agg_raw[f"min{cid}"] = G.seg_doubling_min(
+                        sc, pay)[ea]
                 else:
-                    P.add(f"max{cid}", G.seg_doubling_max(sc, pay)[ea])
+                    agg_raw[f"max{cid}"] = G.seg_doubling_max(
+                        sc, pay)[ea]
+
+        # ---- device-side finalization: order, decode, narrow ----
+        ordi = jnp.argsort(fidx).astype(jnp.int32)
+        n_occ = (counts > 0).sum().astype(jnp.int32)
+
+        P = G.Packer()
+        P.add("nocc", jnp.reshape(n_occ, (1,)))
+        P.add("slots", ordi)                        # i32: dense codes
+        counts_o = counts[ordi]
+        eff_cache = {}
+
+        def eff(cid):
+            if cid not in eff_cache:
+                if cid in need_nullcnt:
+                    eff_cache[cid] = counts_o - \
+                        mm[f"nullcnt{cid}"][ordi]
+                else:
+                    eff_cache[cid] = counts_o
+            return eff_cache[cid]
+
+        emitted = set()
+        for a in aggs:
+            cid = id(a.inner)
+            rt = a.inner.rtype if a.name != "count" else T.I64
+            lane = f"{a.name}:{a.sid}"
+            if lane in emitted:
+                continue
+            emitted.add(lane)
+            if a.name == "count":
+                P.add(lane, counts_o.astype(
+                    jnp.int32 if n_rows < (1 << 31) else jnp.int64))
+            elif a.name == "first":
+                P.add(lane, fidx[ordi].astype(jnp.int32))
+            elif a.name == "last":
+                P.add(lane, lidx[ordi].astype(jnp.int32))
+            elif a.name in ("min", "max"):
+                v = agg_raw[f"{a.name}{cid}"][ordi]
+                nullable = cid in need_nullcnt
+                if nullable:
+                    empty = mm[f"nullcnt{cid}"][ordi] == counts_o
+                if rt == T.F64:
+                    if nullable:
+                        v = jnp.where(empty, jnp.float64(np.nan), v)
+                    P.add(lane, v)
+                else:
+                    narrow = rt in NARROW
+                    if not narrow and not nullable and \
+                            "vrange" in a.meta:
+                        vlo, vhi = a.meta["vrange"]
+                        narrow = -(1 << 31) <= vlo and vhi < (1 << 31)
+                    if nullable:
+                        nv = np.int64(T.NULL_BY_TYPE.get(
+                            rt, T.NULL_I64))
+                        v = jnp.where(empty, nv, v)
+                        narrow = rt in NARROW
+                    P.add(lane, v.astype(jnp.int32) if narrow else v)
+            elif rt == T.F64:   # f64 sum / avg
+                if cid in need_fixed:
+                    flo, fk = need_fixed[cid]
+                    tot = jnp.zeros(NC, jnp.float64)
+                    for i in range(G.F64_LIMBS):
+                        tot = tot + mm[f"flimb{cid}_{i}"] * float(
+                            1 << (G.LIMB_BITS * i))
+                    e = eff(cid)
+                    s = tot[ordi] * float(2.0 ** -fk) + e * flo
+                else:
+                    s = agg_raw[f"fsum{cid}"][ordi]
+                if a.name == "avg":
+                    e = eff(cid)
+                    s = jnp.where(e == 0, jnp.float64(np.nan), s / e)
+                P.add(lane, s)
+            else:               # integer sum / avg
+                n_limbs, bias, bound = limb_meta(cid, rt)
+                if bound < F64_EXACT:
+                    tot = jnp.zeros(NC, jnp.float64)
+                    for i in range(n_limbs):
+                        tot = tot + mm[f"limb{cid}_{i}"] * float(
+                            1 << (G.LIMB_BITS * i))
+                    tot = tot[ordi] - eff(cid) * float(bias)
+                    if a.name == "avg":
+                        e = eff(cid)
+                        P.add(lane, jnp.where(
+                            e == 0, jnp.float64(np.nan), tot / e))
+                    else:
+                        v = tot.astype(jnp.int64)
+                        P.add(lane, v.astype(jnp.int32)
+                              if bound < (1 << 31) else v)
+                else:
+                    # full-width fallback: host recombines exactly
+                    for i in range(n_limbs):
+                        P.add(f"limb{cid}_{i}", mm[f"limb{cid}_{i}"
+                                                   ][ordi])
+                    nc = (mm[f"nullcnt{cid}"][ordi]
+                          if cid in need_nullcnt
+                          else jnp.zeros(NC, jnp.float64))
+                    P.add(f"ncnt{cid}", nc.astype(jnp.int64))
+                    P.add(f"cnt{cid}", counts_o.astype(jnp.int64))
 
         bufs, layout = P.pack()
         lanes_meta["layout"] = layout
@@ -366,30 +513,16 @@ def _build_plan(src, outs, where_ast, by_ast):
     plan.key_meta = key_meta
     plan.aggs = aggs
     plan.n_codes = n_codes
-    plan.small = small
     plan.lanes_meta = lanes_meta
 
     for a in aggs:
         cid = id(a.inner)
-        if a.name == "count":
-            continue
-        a.meta["nullcnt"] = f"nullcnt{cid}"
         if a.name in ("sum", "avg") and a.inner.rtype in INT_LIKE:
-            lo, hi = need_limbs[cid]
-            if lo is not None and hi >= lo:
-                width = max((hi - lo).bit_length(), 1)
-                bias = -lo
-            else:
-                width, bias = 64, 1 << 63
-            n_limbs = -(-width // G.LIMB_BITS)
-            a.meta["limbs"] = [f"limb{cid}_{i}" for i in range(n_limbs)]
+            n_limbs, bias, bound = limb_meta(cid, a.inner.rtype)
+            a.meta["limb_fallback"] = bound >= F64_EXACT
+            a.meta["n_limbs"] = n_limbs
             a.meta["bias"] = bias
-        elif a.name in ("sum", "avg"):
-            a.meta["fsum"] = f"fsum{cid}"
-        elif a.name == "min":
-            a.meta["key"] = f"min{cid}"
-        elif a.name == "max":
-            a.meta["key"] = f"max{cid}"
+            a.meta["cid"] = cid
     return plan
 
 
@@ -434,19 +567,13 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
     bufs = jax.device_get(bufs)     # ONE batched device->host transfer
     lanes = G.unpack(bufs, plan.lanes_meta["layout"])
 
-    counts = lanes["counts"]
-    fidx = lanes["fidx"]
-    occ = np.nonzero(counts > 0)[0]
-    order = occ[np.argsort(fidx[occ], kind="stable")]
-    counts_o = counts[order]
-    fidx_o = fidx[order]
-    lidx_o = lanes["lidx"][order]
+    k = int(lanes["nocc"][0])
+    slots = lanes["slots"][:k].astype(np.int64)
 
     out_names: list[int] = []
     out_cols: list[Obj] = []
 
     # decode key values arithmetically from dense slot ids
-    slots = order.copy()
     muls = []
     m = 1
     for _nm, _lo, rng, _rt, _dom in reversed(plan.key_meta):
@@ -466,59 +593,54 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
     for a in plan.aggs:
         out_names.append(a.sid)
         rt = a.inner.rtype if a.name != "count" else T.I64
+        lane = f"{a.name}:{a.sid}"
         if a.name == "count":
-            out_cols.append(Obj(T.I64, counts_o.astype(np.int64)))
-            continue
-        if a.name in ("first", "last"):
-            idx = fidx_o if a.name == "first" else lidx_o
-            out_cols.append(_host_gather(a.inner.cols[0].col, idx))
-            continue
-        nullc = lanes[a.meta["nullcnt"]][order]
-        if a.name in ("min", "max"):
-            k = lanes[a.meta["key"]][order]
-            empty = nullc == counts_o
+            out_cols.append(Obj(T.I64,
+                                lanes[lane][:k].astype(np.int64)))
+        elif a.name in ("first", "last"):
+            out_cols.append(_host_gather(a.inner.cols[0].col,
+                                         lanes[lane][:k]))
+        elif a.name in ("min", "max"):
+            v = lanes[lane][:k]
             if rt == T.F64:
-                v = np.where(empty, T.NULL_F64, k)
                 out_cols.append(Obj(T.F64, v.astype(np.float64)))
             else:
-                nv = T.NULL_BY_TYPE.get(rt, T.NULL_I64)
-                v = np.where(empty, np.int64(nv), k)
-                if rt == T.SYMBOL:
-                    out_cols.append(Obj(T.SYMBOL, v.astype(np.int64)))
-                else:
-                    out_cols.append(Obj(rt, v.astype(T.DTYPE[rt])))
-            continue
-        # sum / avg — both SKIP nulls (oracle: (sum [1 0Nl 3]) -> 4;
-        # empty/all-null int sum is 0, f64 sum is 0.0)
-        if rt in INT_LIKE:
-            limb_sums = [lanes[nm][order] for nm in a.meta["limbs"]]
-            tot = G.recombine_limbs(limb_sums, a.meta["bias"],
-                                    counts_o, nullc)
-            if a.name == "sum":
-                wrapped = ((tot.astype(object) + (1 << 63)) %
-                           (1 << 64)) - (1 << 63)
-                vals = np.array([int(x) for x in wrapped],
-                                dtype=np.int64)
-                ot = SUM_OUT.get(rt, T.I64)
-                out_cols.append(Obj(ot, vals.astype(T.DTYPE[ot])))
-            else:  # avg
-                eff = (counts_o - nullc).astype(np.float64)
-                num = np.array([float(x) for x in tot],
-                               dtype=np.float64)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    v = num / eff
-                v = np.where(eff == 0, T.NULL_F64, v)
-                out_cols.append(Obj(T.F64, v))
-        else:  # f64
-            s = lanes[a.meta["fsum"]][order]
-            if a.name == "sum":
-                out_cols.append(Obj(T.F64, s.copy()))
+                out_cols.append(Obj(rt, v.astype(T.DTYPE[rt])))
+        elif rt == T.F64 or a.name == "avg":
+            if a.meta.get("limb_fallback"):
+                out_cols.append(self_recombine(a, lanes, k, avg=True))
             else:
-                eff = (counts_o - nullc).astype(np.float64)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    v = s / eff
-                v = np.where(eff == 0, T.NULL_F64, v)
-                out_cols.append(Obj(T.F64, v))
+                out_cols.append(Obj(T.F64,
+                                    lanes[lane][:k].astype(np.float64)))
+        else:  # integer sum
+            if a.meta.get("limb_fallback"):
+                out_cols.append(self_recombine(a, lanes, k, avg=False))
+            else:
+                ot = SUM_OUT.get(rt, T.I64)
+                out_cols.append(Obj(ot,
+                                    lanes[lane][:k].astype(T.DTYPE[ot])))
 
     return table(Obj(T.SYMBOL, np.asarray(out_names, dtype=np.int64)),
                  out_cols)
+
+
+def self_recombine(a: _Agg, lanes, k, avg: bool) -> Obj:
+    """Host-exact recombination for full-width integer sums whose
+    bound exceeds 2^53 (rare: full-range i64 columns)."""
+    cid = a.meta["cid"]
+    limb_sums = [lanes[f"limb{cid}_{i}"][:k]
+                 for i in range(a.meta["n_limbs"])]
+    nullc = lanes[f"ncnt{cid}"][:k]
+    counts = lanes[f"cnt{cid}"][:k]
+    tot = G.recombine_limbs(limb_sums, a.meta["bias"], counts, nullc)
+    if avg:
+        eff = (counts - nullc).astype(np.float64)
+        num = np.array([float(x) for x in tot], dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = num / eff
+        v = np.where(eff == 0, T.NULL_F64, v)
+        return Obj(T.F64, v)
+    wrapped = ((tot.astype(object) + (1 << 63)) % (1 << 64)) - (1 << 63)
+    vals = np.array([int(x) for x in wrapped], dtype=np.int64)
+    ot = SUM_OUT.get(a.inner.rtype, T.I64)
+    return Obj(ot, vals.astype(T.DTYPE[ot]))
