@@ -115,14 +115,7 @@ def _minmax_payload(arr, rtype, is_min):
     return jnp.where(nulls, lim, a)
 
 
-def _build_plan(src, outs, where_ast, by_ast):
-    n_rows = len(src)
-    cw = None
-    if where_ast is not None:
-        cw = compile_expr(src, where_ast)
-        if cw is None or cw.rtype != T.B8:
-            return None
-
+def _parse_by(by_ast):
     by_pairs = []
     if by_ast is not None:
         if by_ast.t == -T.SYMBOL and not (by_ast.attrs & 1):
@@ -136,8 +129,12 @@ def _build_plan(src, outs, where_ast, by_ast):
                         for i in range(len(bids))]
         else:
             return None
+    return by_pairs
 
-    # --- key columns -> dense code space --------------------------------
+
+def _compile_keys(src, by_pairs):
+    """Compile key exprs, returning (key_cs, key_meta, n_codes) where
+    n_codes is the full (possibly huge) dense code-space size."""
     key_cs = []
     key_meta = []   # (name, lo, rng, rtype, enum_dom | None)
     n_codes = 1
@@ -164,12 +161,12 @@ def _build_plan(src, outs, where_ast, by_ast):
         if rng <= 0:
             return None
         n_codes *= rng
-        if n_codes > dev._cfg["dense_max"]:
-            return None
         key_cs.append(ck)
         key_meta.append((nm, lo, rng, ck.rtype, dom))
+    return key_cs, key_meta, n_codes
 
-    # --- aggregates ------------------------------------------------------
+
+def _compile_aggs(src, outs):
     aggs = []
     for sid, ast in outs:
         sp = split_aggregate(src, ast)
@@ -192,6 +189,33 @@ def _build_plan(src, outs, where_ast, by_ast):
                                 len(inner.cols) == 1 and
                                 ast.v[1].t == -T.SYMBOL)
         aggs.append(ag)
+    return aggs
+
+
+def _build_plan(src, outs, where_ast, by_ast):
+    n_rows = len(src)
+    cw = None
+    if where_ast is not None:
+        cw = compile_expr(src, where_ast)
+        if cw is None or cw.rtype != T.B8:
+            return None
+
+    by_pairs = _parse_by(by_ast)
+    if by_pairs is None:
+        return None
+    keys = _compile_keys(src, by_pairs)
+    if keys is None:
+        return None
+    key_cs, key_meta, n_codes = keys
+    aggs = _compile_aggs(src, outs)
+    if aggs is None:
+        return None
+
+    if n_codes > dev._cfg["dense_max"]:
+        if n_codes <= (1 << 62):
+            return _build_plan_wide(src, n_rows, cw, key_cs, key_meta,
+                                    n_codes, aggs)
+        return None
 
     small = n_codes <= G.SMALL_N
 
@@ -526,6 +550,270 @@ def _build_plan(src, outs, where_ast, by_ast):
     return plan
 
 
+class _WidePlan:
+    __slots__ = ("fn", "slicer", "col_objs", "key_meta", "aggs",
+                 "lanes_meta", "n_rows")
+
+
+_TRASH62 = 1 << 62
+
+
+def _build_plan_wide(src, n_rows, cw, key_cs, key_meta, n_codes, aggs):
+    """High-cardinality multi-key grouping (the analogue of the
+    reference's radix-partitioned hash grouping, core/index.c:2556):
+    the keys pack LOSSLESSLY into one i64 code (product of ranges
+    <= 2^62), rows are stably sorted by it, group boundaries come from
+    adjacent-difference flags, and every aggregate is a log-doubling
+    segmented scan + boundary gather. The group count is dynamic, so
+    execution is two-phase: fetch the scalar count, then slice-and-pack
+    the first n_groups (bucket-rounded) entries of each result lane."""
+    col_objs = []
+    slot_of = {}
+
+    def assign(ck):
+        mapping = []
+        for ref in ck.cols:
+            key = id(ref.col)
+            if key not in slot_of:
+                slot_of[key] = len(col_objs)
+                col_objs.append(ref.col)
+            mapping.append(slot_of[key])
+        return mapping
+
+    w_map = assign(cw) if cw is not None else None
+    key_maps = [assign(ck) for ck in key_cs]
+    agg_maps = {id(a.inner): assign(a.inner) for a in aggs}
+
+    def may_null(a):
+        if not a.meta.get("plain_col"):
+            return True
+        try:
+            return dev.column_has_null(a.inner.cols[0].col)
+        except Exception:
+            return True
+
+    need_nullcnt = set()
+    need_sum = {}     # cid -> "int" | "f64"
+    need_min = set()
+    need_max = set()
+    for a in aggs:
+        cid = id(a.inner)
+        if a.name in ("sum", "avg"):
+            if may_null(a):
+                need_nullcnt.add(cid)
+            need_sum[cid] = "f64" if a.inner.rtype == T.F64 else "int"
+        elif a.name in ("min", "max"):
+            if may_null(a):
+                need_nullcnt.add(cid)
+            (need_min if a.name == "min" else need_max).add(cid)
+
+    lanes_meta = {}
+
+    def pipeline(*cols):
+        def sub_env(mapping):
+            return [cols[i] for i in mapping]
+
+        mask = None
+        if cw is not None:
+            mask = jnp.asarray(cw.fn(sub_env(w_map))).astype(bool)
+        code = None
+        for ck, mp, (_nm, lo, rng, _rt, _dom) in zip(
+                key_cs, key_maps, key_meta):
+            arr = jnp.asarray(ck.fn(sub_env(mp)))
+            cc = arr.astype(jnp.int64) - lo
+            code = cc if code is None else code * rng + cc
+        if code is None:
+            code = jnp.zeros(n_rows, jnp.int64)
+        if mask is not None:
+            code = jnp.where(mask, code, jnp.int64(_TRASH62))
+
+        arrs = {}
+        rtypes = {}
+        for a in aggs:
+            cid = id(a.inner)
+            if a.name != "count" and cid not in arrs:
+                arrs[cid] = jnp.asarray(a.inner.fn(sub_env(
+                    agg_maps[cid])))
+                rtypes[cid] = a.inner.rtype
+
+        payloads, p_specs = [], []
+        for cid, kind in sorted(need_sum.items()):
+            arr = arrs[cid]
+            if kind == "f64":
+                payloads.append(jnp.where(jnp.isnan(arr), 0.0, arr))
+            else:
+                nv = T.NULL_BY_TYPE.get(rtypes[cid])
+                a64 = arr.astype(jnp.int64)
+                if nv is not None:
+                    a64 = jnp.where(a64 == np.int64(nv), 0, a64)
+                payloads.append(a64)
+            p_specs.append(("sum", cid))
+        for cid in sorted(need_min):
+            payloads.append(_minmax_payload(arrs[cid], rtypes[cid],
+                                            True))
+            p_specs.append(("min", cid))
+        for cid in sorted(need_max):
+            payloads.append(_minmax_payload(arrs[cid], rtypes[cid],
+                                            False))
+            p_specs.append(("max", cid))
+        for cid in sorted(need_nullcnt):
+            payloads.append(_null_mask(arrs[cid], rtypes[cid])
+                            .astype(jnp.float64))
+            p_specs.append(("nullcnt", cid))
+
+        iota = jnp.arange(n_rows, dtype=jnp.int32)
+        sorted_ = jax.lax.sort([code, iota] + payloads, num_keys=1,
+                               is_stable=True)
+        sc, siota = sorted_[0], sorted_[1]
+        spay = sorted_[2:]
+
+        flags = jnp.concatenate(
+            [jnp.ones(1, bool), sc[1:] != sc[:-1]])
+        valid_start = flags & (sc < _TRASH62)
+        ng = valid_start.sum().astype(jnp.int32)
+        starts = jnp.nonzero(flags, size=n_rows,
+                             fill_value=n_rows - 1)[0]
+        ends = jnp.concatenate(
+            [starts[1:], jnp.full(1, n_rows, starts.dtype)])
+        ea = (ends - 1).astype(jnp.int32)
+        sa = starts.astype(jnp.int32)
+
+        counts_g = ends - starts
+        lanes = {"ng": jnp.reshape(ng, (1,)),
+                 "keycode": sc[sa],
+                 "fidx": siota[sa].astype(jnp.int32)}
+        if any(a.name == "last" for a in aggs):
+            lanes["lidx"] = siota[ea].astype(jnp.int32)
+        seg = {}
+        for (kind, cid), pay in zip(p_specs, spay):
+            if kind == "min":
+                seg[(kind, cid)] = G.seg_doubling_min(sc, pay)[ea]
+            elif kind == "max":
+                seg[(kind, cid)] = G.seg_doubling_max(sc, pay)[ea]
+            else:   # sum / nullcnt (i64 sums wrap like the host's)
+                seg[(kind, cid)] = G.seg_doubling_sum(sc, pay)[ea]
+
+        # finalize per-agg lanes (still in sorted-code order)
+        for a in aggs:
+            cid = id(a.inner)
+            rt = a.inner.rtype if a.name != "count" else T.I64
+            lane = f"{a.name}:{a.sid}"
+            if lane in lanes:
+                continue
+            if a.name == "count":
+                lanes[lane] = counts_g.astype(jnp.int64)
+            elif a.name == "first":
+                lanes[lane] = lanes["fidx"]
+            elif a.name == "last":
+                lanes[lane] = lanes["lidx"]
+            elif a.name in ("min", "max"):
+                v = seg[(a.name, cid)]
+                if cid in need_nullcnt:
+                    empty = seg[("nullcnt", cid)] >= \
+                        counts_g.astype(jnp.float64)
+                    if rt == T.F64:
+                        v = jnp.where(empty, jnp.float64(np.nan), v)
+                    else:
+                        nv = np.int64(T.NULL_BY_TYPE.get(
+                            rt, T.NULL_I64))
+                        v = jnp.where(empty, nv, v)
+                lanes[lane] = v
+            else:  # sum / avg
+                s = seg[("sum", cid)]
+                if a.name == "avg":
+                    e = counts_g.astype(jnp.float64)
+                    if cid in need_nullcnt:
+                        e = e - seg[("nullcnt", cid)]
+                    s = jnp.where(e == 0, jnp.float64(np.nan),
+                                  s.astype(jnp.float64) / e)
+                lanes[lane] = s
+        lanes_meta["names"] = sorted(lanes.keys())
+        return tuple(lanes[nm] for nm in lanes_meta["names"])
+
+    def slice_pack(*arrs, ngp):
+        P = G.Packer()
+        names = [nm for nm in lanes_meta["names"] if nm != "ng"]
+        for nm, arr in zip(names, arrs):
+            P.add(nm, arr[:ngp])
+        bufs, layout = P.pack()
+        lanes_meta["slice_layout"] = layout
+        return bufs
+
+    plan = _WidePlan()
+    plan.fn = jax.jit(pipeline)
+    plan.slicer = jax.jit(slice_pack, static_argnames=("ngp",),
+                          out_shardings=dev.host_sharding())
+    plan.col_objs = col_objs
+    plan.key_meta = key_meta
+    plan.aggs = aggs
+    plan.lanes_meta = lanes_meta
+    plan.n_rows = n_rows
+    return plan
+
+
+def _run_wide(plan: _WidePlan):
+    cols = [dev.dev_col(c) for c in plan.col_objs]
+    outs = plan.fn(*cols)
+    names = plan.lanes_meta["names"]
+    lanes = dict(zip(names, outs))
+    ng = int(np.asarray(lanes.pop("ng"))[0])
+    if ng <= 0:
+        return ng, {}
+    ngp = 1 << max((ng - 1).bit_length(), 6)   # bucket recompiles
+    ngp = min(max(ngp, ng), plan.n_rows)
+    arrs = [lanes[nm] for nm in names if nm != "ng"]
+    bufs = plan.slicer(*arrs, ngp=ngp)
+    bufs = jax.device_get(bufs)
+    out = G.unpack(bufs, plan.lanes_meta["slice_layout"])
+    return ng, out
+
+
+def _decode_wide(plan: _WidePlan, ng, lanes):
+    fidx = lanes["fidx"][:ng]
+    order = np.argsort(fidx, kind="stable")
+    keycode = lanes["keycode"][:ng][order]
+
+    out_names: list[int] = []
+    out_cols: list[Obj] = []
+    muls = []
+    m = 1
+    for _nm, _lo, rng, _rt, _dom in reversed(plan.key_meta):
+        muls.append(m)
+        m *= rng
+    muls.reverse()
+    for (nm, lo, rng, rt, dom), mul in zip(plan.key_meta, muls):
+        vals = (keycode // mul) % rng + lo
+        out_names.append(nm)
+        if dom is not None:
+            out_cols.append(Obj(T.SYMBOL, dom[vals].astype(np.int64)))
+        elif rt == T.SYMBOL:
+            out_cols.append(Obj(T.SYMBOL, vals.astype(np.int64)))
+        else:
+            out_cols.append(Obj(rt, vals.astype(T.DTYPE[rt])))
+
+    for a in plan.aggs:
+        out_names.append(a.sid)
+        rt = a.inner.rtype if a.name != "count" else T.I64
+        lane = lanes[f"{a.name}:{a.sid}"][:ng][order]
+        if a.name == "count":
+            out_cols.append(Obj(T.I64, lane.astype(np.int64)))
+        elif a.name in ("first", "last"):
+            out_cols.append(_host_gather(a.inner.cols[0].col, lane))
+        elif a.name in ("min", "max"):
+            if rt == T.F64:
+                out_cols.append(Obj(T.F64, lane.astype(np.float64)))
+            else:
+                out_cols.append(Obj(rt, lane.astype(T.DTYPE[rt])))
+        elif a.name == "avg" or rt == T.F64:
+            out_cols.append(Obj(T.F64, lane.astype(np.float64)))
+        else:
+            ot = SUM_OUT.get(rt, T.I64)
+            out_cols.append(Obj(ot, lane.astype(T.DTYPE[ot])))
+
+    return table(Obj(T.SYMBOL, np.asarray(out_names, dtype=np.int64)),
+                 out_cols)
+
+
 def _host_gather(col_obj: Obj, idx: np.ndarray) -> Obj:
     """first/last: gather column values at group row ids on the host."""
     from ..ops.compose import gather
@@ -561,6 +849,12 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         _plan_cache[key] = plan
     elif plan == "unsupported":
         return None
+
+    if isinstance(plan, _WidePlan):
+        ng, lanes = _run_wide(plan)
+        if ng <= 0:
+            return None
+        return _decode_wide(plan, ng, lanes)
 
     cols = [dev.dev_col(c) for c in plan.col_objs]
     bufs = plan.fn(*cols)
