@@ -44,6 +44,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_enable_x64", True)
+
 L_CHUNK = 65536
 LIMB_BITS = 8
 LIMB_MASK = (1 << LIMB_BITS) - 1

@@ -64,16 +64,26 @@ def shard_rows(mesh: Mesh, arr, axis="d"):
 
 
 # -- distributed dense group-by ----------------------------------------------
+#
+# Per-chip partials use the scatter-free one-hot matmul kernels from
+# engine/groupby.py (scatter costs ~90 ms/10M rows on TPU; the MXU one-
+# hot matmul is ~2-9 ms — see TPU_NOTES.md). The cross-chip combine is
+# psum over ICI — the analogue of the reference's AGGR_COLLECT pairwise
+# merge of per-thread partial vectors (core/aggr.c:163-181).
 
 def dist_groupby_sum(mesh: Mesh, n_codes: int):
-    """Build a jitted distributed group-by-sum: per-chip dense partials
-    psum-combined over ICI. codes/values row-sharded; result replicated."""
+    """Distributed group-by-sum: per-chip dense matmul partials,
+    psum-combined over ICI. codes/values row-sharded; result
+    replicated."""
+    from ..engine import groupby as G
     axis = mesh.axis_names[0]
 
     @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
              out_specs=P(), check_rep=False)
     def kernel(codes, values):
-        part = jax.ops.segment_sum(values, codes, num_segments=n_codes + 1)
+        part = G.matmul_tasks_scan(
+            codes, [values.astype(jnp.float32)], n_codes + 1,
+            codes.shape[0])[0]
         return jax.lax.psum(part, axis)
 
     return jax.jit(kernel)
@@ -81,18 +91,21 @@ def dist_groupby_sum(mesh: Mesh, n_codes: int):
 
 def dist_groupby_count_first(mesh: Mesh, n_codes: int, shard_rows_n: int):
     """Distributed counts + global first-row index per dense code."""
+    from ..engine import groupby as G
     axis = mesh.axis_names[0]
 
     @partial(shard_map, mesh=mesh, in_specs=(P(axis),),
              out_specs=(P(), P()), check_rep=False)
     def kernel(codes):
         me = jax.lax.axis_index(axis)
-        cnt = jax.ops.segment_sum(jnp.ones_like(codes, dtype=jnp.int32),
-                                  codes, num_segments=n_codes + 1)
-        local_idx = jnp.arange(codes.shape[0], dtype=jnp.int64) \
-            + me.astype(jnp.int64) * shard_rows_n
-        fidx = jax.ops.segment_min(local_idx, codes,
-                                   num_segments=n_codes + 1)
+        n = codes.shape[0]
+        cnt = G.matmul_tasks_scan(
+            codes, [jnp.ones(n, jnp.float32)], n_codes + 1, n)[0] \
+            .astype(jnp.int32)
+        bc = G.bcast_scan(codes, n_codes + 1, n, want_counts=False,
+                          want_fidx=True)
+        fidx = jnp.where(bc["fidx"] == G.KEY_MAX, jnp.int64(G.KEY_MAX),
+                         bc["fidx"] + me.astype(jnp.int64) * shard_rows_n)
         return (jax.lax.psum(cnt, axis), jax.lax.pmin(fidx, axis))
 
     return jax.jit(kernel)
@@ -151,14 +164,17 @@ def dist_filter_group_sum(mesh: Mesh, n_codes: int):
     pipeline."""
     axis = mesh.axis_names[0]
 
+    from ..engine import groupby as G
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis)),
              out_specs=(P(), P()), check_rep=False)
     def kernel(codes, values, mask):
         c = jnp.where(mask, codes, n_codes)
-        s = jax.ops.segment_sum(values, c, num_segments=n_codes + 1)
-        cnt = jax.ops.segment_sum(jnp.ones_like(c, dtype=jnp.int32), c,
-                                  num_segments=n_codes + 1)
+        s, cnt = G.matmul_tasks_scan(
+            c, [values.astype(jnp.float32),
+                jnp.ones_like(values, dtype=jnp.float32)],
+            n_codes + 1, c.shape[0])
         return jax.lax.psum(s, axis), jax.lax.psum(cnt, axis)
 
     return jax.jit(kernel)
