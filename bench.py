@@ -1,15 +1,21 @@
 #!/usr/bin/env python3
-"""Benchmark: db-benchmark-style group-by suite on the TPU engine.
+"""Benchmark: db-benchmark-style group-by + join suite on the TPU
+engine.
 
-Mirrors the reference's headline group-by benchmark (docs group-by.md,
+Group-by mirrors the reference's headline benchmark (docs group-by.md,
 H2OAI G1_1e7_1e2 dataset shape): 10M rows, id1/id2 card 100, id3 card
-100k, v1 in 1..5, v3 uniform f64. Baseline: reference Q1 = 60 ms,
-Q2 = 74 ms, Q3 = 118 ms (BASELINE.md).
+100k, v1 in 1..5, v3 uniform f64. Joins approximate the db-benchmark
+join task shapes (10M-row x joined with a medium table on an int key);
+baselines from BASELINE.md (inner Q2 = 1610 ms, left Q1 = 3149 ms).
+Join timing forces every output column to materialize ON DEVICE (HBM)
+— the equivalent of the reference materializing merged columns in RAM.
 
 Prints ONE JSON line: the geometric-mean speedup over the reference
-baselines for the queries run. Detailed per-query numbers go to stderr.
+baselines for the headline workloads (q1-q6 + inner/left join).
+Detailed per-query numbers go to stderr.
 """
 import json
+import os
 import sys
 import time
 
@@ -86,22 +92,69 @@ def main():
             results[name] = None
             speedups.append(0.01)
 
+    # ---- joins: 10M-row x joined with a 1M-row table on an int key ----
+    import jax
+    from rayforce_tpu.core.obj import DevPending
+
+    NR = 1_000_000
+    rid = rng.permutation(NR * 2)[:NR].astype(np.int64)  # half match
+    rv = rng.uniform(0, 100, NR)
+    rtbl = table(vec_sym(["id3", "w1"]),
+                 [Obj(T.I64, rid), Obj(T.F64, rv)])
+    rt.interp.globals[symbols.intern("r")] = rtbl
+    dev.put_table(rtbl)
+
+    def run_join(name, q, baseline_ms):
+        try:
+            def once():
+                t0 = time.perf_counter()
+                res = rt.eval_str(q)
+                _, cols_ = res.v
+                devarrs = []
+                for c in cols_:
+                    p = c.pending() if hasattr(c, "pending") else None
+                    if p is not None:
+                        devarrs.append(p.arr)   # force the gather
+                jax.block_until_ready(devarrs)
+                return (time.perf_counter() - t0) * 1000, res
+            once()
+            best = 1e18
+            for _ in range(3):
+                ms, res = once()
+                best = min(best, ms)
+            results[name] = best
+            speedups.append(baseline_ms / best)
+            log(f"{name}: {best:.1f} ms (baseline {baseline_ms} ms, "
+                f"{baseline_ms/best:.2f}x) rows={len(res)}")
+        except Exception as e:
+            log(f"{name}: FAILED {e}")
+            results[name] = None
+            speedups.append(0.01)
+
+    run_join("ij", "(inner-join [id3] t r)", 1610.0)
+    run_join("lj", "(left-join [id3] t r)", 3149.0)
+
     geo = float(np.exp(np.mean(np.log(np.maximum(speedups, 1e-9)))))
-    try:
-        name, q, baseline_ms = q7
-        rt.eval_str(q)
-        t0 = time.perf_counter()
-        r = rt.eval_str(q)
-        ms = (time.perf_counter() - t0) * 1000
-        results[name] = ms
-        log(f"{name}: {ms:.1f} ms (baseline {baseline_ms} ms, "
-            f"{baseline_ms/ms:.2f}x) rows={len(r)} [detail-only]")
-    except Exception as e:
-        log(f"q7: FAILED {e}")
-        results["q7"] = None
+    # q7 is correct on-device (wide engine) but its wall time here is
+    # dominated by shipping the ~10M-row result through the ~30 MB/s
+    # relay tunnel (measures the harness link, not the engine) and its
+    # 20-50 s would risk the driver's bench window — opt-in only.
+    if os.environ.get("RAYFORCE_BENCH_Q7"):
+        try:
+            name, q, baseline_ms = q7
+            rt.eval_str(q)
+            t0 = time.perf_counter()
+            r = rt.eval_str(q)
+            ms = (time.perf_counter() - t0) * 1000
+            results[name] = ms
+            log(f"{name}: {ms:.1f} ms (baseline {baseline_ms} ms, "
+                f"{baseline_ms/ms:.2f}x) rows={len(r)} [detail-only]")
+        except Exception as e:
+            log(f"q7: FAILED {e}")
+            results["q7"] = None
     q1 = results.get("q1") or 0.0
     print(json.dumps({
-        "metric": "groupby_suite_geomean_speedup_vs_reference",
+        "metric": "suite_geomean_speedup_vs_reference",
         "value": round(geo, 3),
         "unit": "x",
         "vs_baseline": round(geo, 3),

@@ -28,15 +28,82 @@ from . import symbols
 from .errors import err_type
 
 
+class DevPending:
+    """Lazily-materialized device payload. Holds either a jax array or
+    a thunk that will produce one (so even the device dispatch is
+    deferred); the host numpy copy is made only when the host actually
+    touches the values. Query results that stay on device (join
+    gathers, device selects feeding further selects) never pay the
+    relay transfer."""
+
+    __slots__ = ("shape", "_arr", "_thunk")
+
+    def __init__(self, arr=None, thunk=None, shape=None):
+        self._arr = arr
+        self._thunk = thunk
+        self.shape = tuple(arr.shape) if arr is not None else shape
+
+    @property
+    def arr(self):
+        if self._arr is None:
+            self._arr = self._thunk()
+            self._thunk = None
+        return self._arr
+
+    def materialize(self) -> np.ndarray:
+        return np.asarray(self.arr)
+
+
+class DevPendingList(DevPending):
+    """Right-only join column with unmatched rows: the device holds
+    (gathered values, has_match); host materialization boxes them into
+    the reference's LIST of typed atoms with untyped Nulls for
+    unmatched rows (core/join.c:38-66)."""
+
+    __slots__ = ("elem_t", "elem_domain")
+
+    def __init__(self, thunk, shape, elem_t, domain=None):
+        super().__init__(thunk=thunk, shape=shape)
+        self.elem_t = elem_t
+        self.elem_domain = domain
+
+    def materialize(self):
+        import jax
+        vals, has = jax.device_get(self.arr)
+        t = self.elem_t
+        if t == T.ENUM:
+            return [enum_atom(self.elem_domain, int(v)) if m
+                    else NULL_OBJ for v, m in zip(vals, has)]
+        return [Obj(-t, v) if m else NULL_OBJ
+                for v, m in zip(vals, has)]
+
+
 class Obj:
-    __slots__ = ("t", "v", "attrs", "domain", "meta")
+    __slots__ = ("t", "_v", "attrs", "domain", "meta")
 
     def __init__(self, t: int, v: Any, attrs: int = 0, domain=None, meta=None):
         self.t = t
-        self.v = v
+        self._v = v
         self.attrs = attrs
         self.domain = domain  # ENUM: symbol-domain Obj; MAPGROUP: group index
         self.meta = meta      # scratch (e.g. parted partition info)
+
+    @property
+    def v(self):
+        v = self._v
+        if isinstance(v, DevPending):
+            v = v.materialize()
+            self._v = v
+        return v
+
+    @v.setter
+    def v(self, val):
+        self._v = val
+
+    def pending(self):
+        """The un-materialized DevPending payload, or None."""
+        v = self._v
+        return v if isinstance(v, DevPending) else None
 
     # -- convenience ---------------------------------------------------
     def is_atom(self) -> bool:
@@ -46,6 +113,8 @@ class Obj:
         t = self.t
         if t < 0:
             raise err_type("len of atom")
+        if isinstance(self._v, DevPending):  # no materialize for len
+            return int(self._v.shape[0])
         if t == T.LIST:
             return len(self.v)
         if t == T.TABLE:

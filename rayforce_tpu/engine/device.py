@@ -75,10 +75,13 @@ _STATLESS = (T.GUID, T.C8, T.LIST)
 
 
 def dev_col(col: Obj):
-    """Device copy of a column's payload, cached on the Obj."""
+    """Device copy of a column's payload, cached on the Obj. A column
+    whose payload is still device-resident (DevPending) is used as-is —
+    no relay round trip."""
     if isinstance(col.meta, dict) and "dev" in col.meta:
         return col.meta["dev"]
-    arr = jnp.asarray(to_np(col))
+    p = col.pending()
+    arr = p.arr if p is not None else jnp.asarray(to_np(col))
     if not isinstance(col.meta, dict):
         col.meta = {}
     col.meta["dev"] = arr

@@ -1,0 +1,231 @@
+"""Device joins: sort-merge left/inner/asof over HBM-resident columns.
+
+The reference builds a hash table on right-table key rows and probes
+per left row (core/index.c:2886-2998 left/inner, :3194-3266 asof).
+Hash probing is scatter/gather-serial — hostile to this TPU (see
+TPU_NOTES.md) — so the device plan is a SORT-MERGE with identical
+semantics:
+
+  comb  = concat(right_codes, left_codes)        # rights first
+  sort  = stable lax.sort by (code [, time])     # rights precede
+                                                 # lefts within ties
+  match = log-doubling segmented prefix min/max of right positions
+          -> per left row: FIRST right row with equal keys (left/inner
+             join, = the reference's find-first probe), or LAST right
+             row at-or-before its time (asof)
+  unsort by original position (second lax.sort)
+
+Match ids stay ON DEVICE; merged output columns are lazy device
+gathers (core.obj.DevPending with deferred thunks), so a 10M-row join
+never ships rows through the ~30 MB/s relay — nor even dispatches the
+gathers — unless the user actually reads the columns. This is the
+analogue of the reference returning zero-copy views over mmap'd
+columns.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import types as T
+from ..core.obj import Obj, DevPending, to_np, enum_domain
+from . import device as dev
+from . import groupby as G
+
+_MAXC = 1 << 62
+_PACKABLE = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
+             T.TIMESTAMP, T.SYMBOL)
+_kernel_cache: dict = {}
+
+
+def _key_ranges(lkeys, rkeys):
+    """Joint (lo, rng) per key pair from cached column stats; None when
+    the pair can't be packed into a shared dense i64 code."""
+    metas = []
+    total = 1
+    for lc, rc in zip(lkeys, rkeys):
+        if lc.t == T.ENUM or rc.t == T.ENUM:
+            # comparable only when both enums share the domain object
+            if lc.t != T.ENUM or rc.t != T.ENUM or \
+                    lc.domain is not rc.domain:
+                return None
+            lo, hi = 0, max(len(enum_domain(lc)) - 1, 0)
+        elif lc.t in _PACKABLE and lc.t == rc.t:
+            try:
+                llo, lhi = dev.column_range(lc)
+                rlo, rhi = dev.column_range(rc)
+            except Exception:
+                return None
+            lo, hi = min(llo, rlo), max(lhi, rhi)
+        else:
+            return None
+        rng = hi - lo + 1
+        if rng <= 0:
+            return None
+        total *= rng
+        if total > _MAXC:
+            return None
+        metas.append((lo, rng))
+    return metas
+
+
+def _pack_codes(cols, metas):
+    code = None
+    for c, (lo, rng) in zip(cols, metas):
+        a = dev.dev_col(c).astype(jnp.int64) - lo
+        code = a if code is None else code * rng + a
+    return code
+
+
+def _match_kernel(n_l: int, n_r: int, mode: str, timed: bool):
+    key = (n_l, n_r, mode, timed)
+    if key in _kernel_cache:
+        return _kernel_cache[key]
+
+    def kernel(lcode, rcode, *times):
+        comb = jnp.concatenate([rcode, lcode])
+        pos = jnp.arange(n_r + n_l, dtype=jnp.int32)
+        if timed:
+            tcomb = jnp.concatenate([times[1].astype(jnp.int64),
+                                     times[0].astype(jnp.int64)])
+            scode, _st, spos = jax.lax.sort([comb, tcomb, pos],
+                                            num_keys=2, is_stable=True)
+        else:
+            scode, spos = jax.lax.sort([comb, pos], num_keys=1,
+                                       is_stable=True)
+        is_right = spos < n_r
+        if mode == "first":
+            rp = jnp.where(is_right, spos.astype(jnp.int64),
+                           jnp.int64(G.KEY_MAX))
+            m = G.seg_doubling_min(scode, rp)
+            none = m == G.KEY_MAX
+        else:
+            rp = jnp.where(is_right, spos.astype(jnp.int64),
+                           jnp.int64(-1))
+            m = G.seg_doubling_max(scode, rp)
+            none = m < 0
+        m = jnp.where(none, np.int64(T.NULL_I64), m)
+        # unsort to original (concat) order, keep the left slice
+        _, mun = jax.lax.sort([spos, m], num_keys=1, is_stable=True)
+        return mun[n_r:]
+
+    f = jax.jit(kernel)
+    _kernel_cache[key] = f
+    return f
+
+
+def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
+                     mode="first"):
+    """Per-left-row right match ids (i64 device array, NULL_I64 when
+    absent). mode='first' = left/inner join probe; mode='asof' = last
+    right row with time <= left time within equal keys."""
+    if not lkeys:
+        if ltime is None:
+            return None
+        # pure temporal asof: a single all-rows "group"
+        lcode = jnp.zeros(len(ltime), jnp.int64)
+        rcode = jnp.zeros(len(rtime), jnp.int64)
+    else:
+        metas = _key_ranges(lkeys, rkeys)
+        if metas is None:
+            return None
+        lcode = _pack_codes(lkeys, metas)
+        rcode = _pack_codes(rkeys, metas)
+    n_l, n_r = int(lcode.shape[0]), int(rcode.shape[0])
+    f = _match_kernel(n_l, n_r, mode, ltime is not None)
+    if ltime is not None:
+        return f(lcode, rcode, dev.dev_col(ltime), dev.dev_col(rtime))
+    return f(lcode, rcode)
+
+
+@jax.jit
+def _k_gather(colarr, rids):
+    safe = jnp.clip(rids, 0, colarr.shape[0] - 1)
+    return colarr[safe]
+
+
+@jax.jit
+def _k_overlay(g2, g1, rids):
+    return jnp.where(rids != np.int64(T.NULL_I64), g2, g1)
+
+
+@jax.jit
+def _k_take(colarr, ids):
+    return colarr[ids]
+
+
+def _wrap(arr_thunk, n, col: Obj, out_t: int) -> Obj:
+    o = Obj(out_t, DevPending(thunk=arr_thunk, shape=(n,)),
+            domain=col.domain)
+    o.meta = {}
+    return o
+
+
+def lazy_gather_col(col: Obj, rids, fill_left: Obj | None, n_out: int,
+                    out_t: int | None = None) -> Obj:
+    """Right column gathered at match ids, overlaid on the left column
+    (right value on match, left otherwise — join.c:83) — deferred."""
+    t = col.t if out_t is None else out_t
+
+    def thunk():
+        g2 = _k_gather(dev.dev_col(col), rids)
+        if fill_left is not None:
+            g2 = _k_overlay(g2, dev.dev_col(fill_left), rids)
+        return g2
+
+    return _wrap(thunk, n_out, col, t)
+
+
+def lazy_take_col(col: Obj, ids, n_out: int) -> Obj:
+    """Column at row ids (device) — inner-join row compaction."""
+    return _wrap(lambda: _k_take(dev.dev_col(col), ids), n_out, col,
+                 col.t)
+
+
+@jax.jit
+def _k_has(rids):
+    return rids != np.int64(T.NULL_I64)
+
+
+def lazy_right_only_col(col: Obj, rids, n_out: int) -> Obj:
+    """Right-only column with unmatched rows: LIST-degrading lazily
+    (values + match mask stay on device until displayed)."""
+    from ..core.obj import DevPendingList
+
+    def thunk():
+        return (_k_gather(dev.dev_col(col), rids), _k_has(rids))
+
+    return Obj(T.LIST, DevPendingList(thunk, (n_out,), col.t,
+                                      col.domain))
+
+
+@jax.jit
+def _k_all_matched(rids):
+    return jnp.reshape((rids != np.int64(T.NULL_I64)).all(), (1,))
+
+
+@jax.jit
+def _k_compact(rids):
+    # jnp.nonzero lowers to a scatter (slow here); a stable sort by
+    # !has with an iota payload compacts matched row ids instead
+    has = rids != np.int64(T.NULL_I64)
+    nm = has.sum().astype(jnp.int32)
+    iota = jnp.arange(rids.shape[0], dtype=jnp.int32)
+    _, lids = jax.lax.sort([(~has).astype(jnp.int32), iota],
+                           num_keys=1, is_stable=True)
+    return jnp.reshape(nm, (1,)), lids
+
+
+def all_matched(rids) -> bool:
+    return bool(np.asarray(_k_all_matched(rids))[0])
+
+
+def compact_ids(rids):
+    """(lids, rsel, n_match) for inner-join row compaction; one scalar
+    fetch to learn the match count."""
+    nm_, lids_full = _k_compact(rids)
+    n_match = int(np.asarray(nm_)[0])
+    lids = lids_full[:n_match]
+    rsel = _k_take(rids, lids)
+    return lids, rsel, n_match

@@ -153,12 +153,101 @@ def _key_cols(tbl: Obj, keys: Obj) -> list:
     return out
 
 
+_DEV_COL_OK = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
+               T.TIMESTAMP, T.SYMBOL, T.F64, T.ENUM)
+
+
+def _try_device_join(keys, lt, rt, lk, rk, mode: str):
+    """Sort-merge join on the TPU (engine/join.py); returns the merged
+    table with lazily device-resident columns, or None to fall back."""
+    from ..engine import device as dv
+    if not dv.available() or not dv.should_use(len(lt) + len(rt)):
+        return None
+    try:
+        from ..engine import join as ej
+        lnames, _ = lt.v
+        rnames, _ = rt.v
+        un = ray_union(lnames, rnames)
+        rest = ray_except(un, keys)
+        if len(rest) == 0:
+            return None
+        plan_cols = []
+        for sid in to_np(rest):
+            nm = symbols.name_of(int(sid))
+            c1 = col_by_name(lt, nm)
+            c2 = col_by_name(rt, nm)
+            if c2 is None:
+                plan_cols.append((sid, "left", c1))
+                continue
+            if c2.t not in _DEV_COL_OK:
+                return None
+            if c1 is not None:
+                if c1.t != c2.t:
+                    return None  # host path raises the matching error
+                if c2.t == T.ENUM and c1.domain is not c2.domain:
+                    return None
+                plan_cols.append((sid, "overlay", (c1, c2)))
+            else:
+                plan_cols.append((sid, "right", c2))
+        if mode == "asof":
+            rids = ej.match_ids_device(lk[:-1], rk[:-1], ltime=lk[-1],
+                                       rtime=rk[-1], mode="asof")
+        else:
+            rids = ej.match_ids_device(lk, rk)
+        if rids is None:
+            return None
+        right_only_list = False
+        if mode != "inner" and any(k == "right" for _s, k, _c
+                                   in plan_cols):
+            # unmatched rows in a right-only column degrade to a LIST
+            # of untyped nulls (join.c:38-66); stays lazy on device
+            right_only_list = not ej.all_matched(rids)
+
+        out_names = list(to_np(keys)) + [s for s, _k, _c in plan_cols]
+        if mode == "inner":
+            lids, rsel, n_match = ej.compact_ids(rids)
+            out_cols = [ej.lazy_take_col(c, lids, n_match) for c in lk]
+            for _sid, kind, c in plan_cols:
+                if kind == "left":
+                    out_cols.append(ej.lazy_take_col(c, lids, n_match))
+                elif kind == "overlay":
+                    out_cols.append(ej.lazy_take_col(c[1], rsel,
+                                                     n_match))
+                else:
+                    out_cols.append(ej.lazy_take_col(c, rsel, n_match))
+        else:
+            n_l = len(lt)
+            out_cols = list(lk)
+            for _sid, kind, c in plan_cols:
+                if kind == "left":
+                    out_cols.append(c)
+                elif kind == "overlay":
+                    out_cols.append(ej.lazy_gather_col(c[1], rids,
+                                                       c[0], n_l))
+                elif right_only_list:
+                    out_cols.append(ej.lazy_right_only_col(c, rids,
+                                                           n_l))
+                else:
+                    out_cols.append(ej.lazy_gather_col(c, rids, None,
+                                                       n_l))
+        return table(Obj(T.SYMBOL, np.asarray(out_names,
+                                              dtype=np.int64)),
+                     out_cols)
+    except Exception as e:
+        from ..engine.select import warn_fallback
+        warn_fallback(e)
+        return None
+
+
 def ray_left_join(args: list) -> Obj:
     keys, lt, rt = _check_join_args(args)
     if len(lt) == 0 or len(rt) == 0:
         return lt
     lk = _key_cols(lt, keys)
     rk = _key_cols(rt, keys)
+    fast = _try_device_join(keys, lt, rt, lk, rk, "left")
+    if fast is not None:
+        return fast
     rids = left_join_ids(lk, rk)
     return _merge_columns(lt, rt, keys, lk, rids)
 
@@ -169,6 +258,9 @@ def ray_inner_join(args: list) -> Obj:
         return lt
     lk = _key_cols(lt, keys)
     rk = _key_cols(rt, keys)
+    fast = _try_device_join(keys, lt, rt, lk, rk, "inner")
+    if fast is not None:
+        return fast
     rids = left_join_ids(lk, rk)
     has = rids != T.NULL_I64
     lids = np.nonzero(has)[0].astype(np.int64)
@@ -237,6 +329,9 @@ def ray_asof_join(args: list) -> Obj:
         return lt
     lk = _key_cols(lt, keys)
     rk = _key_cols(rt, keys)
+    fast = _try_device_join(keys, lt, rt, lk, rk, "asof")
+    if fast is not None:
+        return fast
     rids = asof_ids(lk, rk)
     return _merge_columns(lt, rt, keys, lk, rids)
 
