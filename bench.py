@@ -134,6 +134,27 @@ def main():
     run_join("ij", "(inner-join [id3] t r)", 1610.0)
     run_join("lj", "(left-join [id3] t r)", 3149.0)
 
+    # ---- window join: 10M trades x 20M quotes, +/-1000 time window ----
+    NT, NQ = 10_000_000, 20_000_000
+    syms_t = rng.integers(0, 18_000, NT).astype(np.int64)
+    ts_t = np.sort(rng.integers(0, 2_000_000_000, NT)).astype(np.int64)
+    syms_q = rng.integers(0, 18_000, NQ).astype(np.int64)
+    ts_q = np.sort(rng.integers(0, 2_000_000_000, NQ)).astype(np.int64)
+    px_q = rng.uniform(10, 200, NQ)
+    trades = table(vec_sym(["sym", "ts"]),
+                   [Obj(T.I64, syms_t), Obj(T.I64, ts_t)])
+    quotes = table(vec_sym(["sym", "ts", "p"]),
+                   [Obj(T.I64, syms_q), Obj(T.I64, ts_q),
+                    Obj(T.F64, px_q)])
+    rt.interp.globals[symbols.intern("trades")] = trades
+    rt.interp.globals[symbols.intern("quotes")] = quotes
+    dev.put_table(trades)
+    dev.put_table(quotes)
+    run_join("wj",
+             "(window-join1 [sym ts] (map-left + [-1000 1000] "
+             "(at trades 'ts)) trades quotes "
+             "{mx: (max p) mn: (min p)})", 59145.6)
+
     geo = float(np.exp(np.mean(np.log(np.maximum(speedups, 1e-9)))))
     # q7 is correct on-device (wide engine) but its wall time here is
     # dominated by shipping the ~10M-row result through the ~30 MB/s

@@ -26,6 +26,23 @@ from jax.sharding import SingleDeviceSharding
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the relay's remote compiler takes
+# minutes for large query pipelines (a 20M-row window join's kernels
+# cost ~4-5 min each to compile); caching makes every later process
+# hit warm executables.
+try:
+    _cache_dir = os.environ.get(
+        "RAYFORCE_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            ".jax_cache"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 from ..core import types as T
 from ..core.obj import Obj, to_np
 

@@ -1,0 +1,383 @@
+"""Device window join (window-join / window-join1).
+
+The reference sorts the right table by keys, finds a per-left-row
+window [li, ri] of right rows via per-row binary searches, and reduces
+each range (core/join.c:358-489, core/index.c:3287-3347, core/aggr.c
+AGGR_ITER INDEX_TYPE_WINDOW). Per-row binary search is a big random
+gather (searchsorted with 10M probes costs ~1.8 s here), so the device
+plan replaces every search with ONE event sort:
+
+  entries = right rows (tie 0) ++ lo events (tie +/-1) ++ hi events
+  sort by (key code, time, tie)          -- 3-key lax.sort
+  prefix  = cumsum(is_right)             -- position into sorted right
+  unsort events -> p_lo, p_hi per left row
+
+Window boundaries then clamp to each key group's [g_fi, g_ti] range
+(dense counts via the one-hot matmul + cumsum — no searches), exactly
+mirroring ops/join.py window_ranges. Aggregates over the sorted right
+columns:
+
+  count/sum/avg  cumsum + boundary diffs (null-skipping, like aggr.py)
+  min/max        disjoint sparse table: log2(nr) precomputed levels,
+                 one 2-gather lookup per row: ans = op(L[k][li],
+                 R[k][ri]) with k = msb(li ^ ri)
+  first/last     gather at window endpoints
+
+Everything runs in a handful of device dispatches; result columns are
+lazy (DevPending), sized len(left).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import types as T
+from ..core.obj import Obj, DevPending
+from . import device as dev
+from . import groupby as G
+from .join import _key_ranges, _pack_codes
+
+SUM_TYPE = {T.U8: T.I64, T.I16: T.I64, T.I32: T.I32, T.I64: T.I64,
+            T.F64: T.F64}
+MINMAX_OK = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
+             T.TIMESTAMP, T.F64)
+
+
+def _null_mask_t(arr, rtype: int):
+    if rtype == T.F64:
+        return jnp.isnan(arr)
+    nv = T.NULL_BY_TYPE.get(rtype)
+    if nv is None:
+        return jnp.zeros(arr.shape, bool)
+    return arr == np.int64(nv)
+
+
+# -- disjoint sparse table ----------------------------------------------------
+
+def _lim(dtype, op):
+    if dtype == jnp.float64:
+        return jnp.float64(np.inf if op == "min" else -np.inf)
+    return jnp.int64(G.KEY_MAX if op == "min" else G.I64_MIN)
+
+
+def _cum_op(x, op):
+    """Cumulative min/max along axis 1 (lax.cummin / cummax hang on
+    this backend). For big arrays with short axis 1, a lax.scan over
+    the columns keeps only O(1) live buffers — the unrolled
+    log-doubling variant left ~levels*steps full-size transients
+    alive and OOMed the 20M-row window-join build."""
+    fn = jnp.minimum if op == "min" else jnp.maximum
+    R, B = x.shape
+    if R * B > (1 << 22) and B <= 256:
+        def step(carry, col):
+            c2 = fn(carry, col)
+            return c2, c2
+        init = jnp.full((R,), _lim(x.dtype, op), x.dtype)
+        _, ys = jax.lax.scan(step, init, x.T)
+        return ys.T
+    m = x
+    d = 1
+    while d < B:
+        shifted = jnp.concatenate(
+            [jnp.full((m.shape[0], d), _lim(m.dtype, op), m.dtype),
+             m[:, :-d]], axis=1)
+        m = fn(m, shifted)
+        d *= 2
+    return m
+
+
+_DST_BLOG = 7                 # 128-element base blocks
+_DST_B = 1 << _DST_BLOG
+
+
+def _msb(x):
+    k = jnp.zeros_like(x)
+    xx = x
+    for shift in (16, 8, 4, 2, 1):
+        m = xx >= (1 << shift)
+        k = k + jnp.where(m, shift, 0)
+        xx = jnp.where(m, xx >> shift, xx)
+    return k
+
+
+def _dst_levels(vals, op, n_levels, offset_bits=0):
+    """Disjoint-sparse-table levels offset_bits..offset_bits+n_levels-1
+    over vals: level j covers blocks of 2^(off+j+1) — left half holds
+    suffix-op toward the center, right half prefix-op away. A query
+    [l, r] with msb(l ^ r) == off+j is op(lvl[j][l], lvl[j][r])."""
+    n = vals.shape[0]
+    levels = []
+    for j in range(n_levels):
+        bs = 1 << (offset_bits + j + 1)
+        if bs >= 2 * n and j > 0:
+            break
+        pn = -(-n // bs) * bs
+        v = jnp.concatenate(
+            [vals, jnp.full(pn - n, _lim(vals.dtype, op),
+                            vals.dtype)]).reshape(-1, bs)
+        half = bs // 2
+        lsuf = jnp.flip(_cum_op(jnp.flip(v[:, :half], axis=1), op),
+                        axis=1)
+        rpre = _cum_op(v[:, half:], op)
+        levels.append(jnp.concatenate([lsuf, rpre],
+                                      axis=1).reshape(-1)[:n])
+    return levels
+
+
+def _dst_build(vals, op):
+    """Two-level range-op structure sized for 20M+ rows (a flat
+    disjoint sparse table would need log2(n) full copies — 25 GB at
+    20M f64). Mini-DST handles ranges inside one 128-block; block
+    prefix/suffix + a summary DST handle the rest."""
+    n = vals.shape[0]
+    pn = -(-n // _DST_B) * _DST_B
+    v = jnp.concatenate(
+        [vals, jnp.full(pn - n, _lim(vals.dtype, op),
+                        vals.dtype)]).reshape(-1, _DST_B)
+    prefix = _cum_op(v, op).reshape(-1)[:n]
+    suffix = jnp.flip(_cum_op(jnp.flip(v, axis=1), op),
+                      axis=1).reshape(-1)[:n]
+    fn = jnp.minimum if op == "min" else jnp.maximum
+    bsum = v.min(axis=1) if op == "min" else v.max(axis=1)
+    mini = _dst_levels(vals, op, _DST_BLOG)
+    bdst = _dst_levels(bsum, op, 40)   # summaries: log2(nb) levels
+    return {"mini": mini, "prefix": prefix, "suffix": suffix,
+            "bsum": bsum, "bdst": bdst, "fn": fn}
+
+
+def _dst_query(vals, tab, op, li, ri):
+    """Range op over [li, ri] per row; li <= ri (caller masks)."""
+    fn = tab["fn"]
+    same = li == ri
+    k = _msb((li ^ ri).astype(jnp.int32))
+    base = vals[li]
+
+    # same 128-block: mini DST level k
+    if tab["mini"]:
+        mstack = jnp.stack(tab["mini"])
+        mk = jnp.clip(k, 0, len(tab["mini"]) - 1)
+        small = fn(mstack[mk, li], mstack[mk, ri])
+    else:
+        small = base
+
+    # cross-block: suffix[li] ++ block summaries strictly between
+    # ++ prefix[ri]
+    bli = li >> _DST_BLOG
+    bri = ri >> _DST_BLOG
+    edge = fn(tab["suffix"][li], tab["prefix"][ri])
+    lo_b = bli + 1
+    hi_b = bri - 1
+    has_mid = lo_b <= hi_b
+    s_lo = jnp.clip(lo_b, 0, tab["bsum"].shape[0] - 1)
+    s_hi = jnp.clip(hi_b, 0, tab["bsum"].shape[0] - 1)
+    if tab["bdst"]:
+        bk = _msb((s_lo ^ s_hi).astype(jnp.int32))
+        bstack = jnp.stack(tab["bdst"])
+        bkk = jnp.clip(bk, 0, len(tab["bdst"]) - 1)
+        mid = fn(bstack[bkk, s_lo], bstack[bkk, s_hi])
+        mid = jnp.where(s_lo == s_hi, tab["bsum"][s_lo], mid)
+    else:
+        mid = tab["bsum"][s_lo]
+    ident = _lim(vals.dtype, op)
+    mid = jnp.where(has_mid, mid, ident)
+    cross = fn(edge, mid)
+
+    out = jnp.where(k < _DST_BLOG, small, cross)
+    return jnp.where(same, base, out)
+
+
+# -- jitted phase kernels -----------------------------------------------------
+
+_bound_cache: dict = {}
+
+
+def _boundaries_fn(nl, nr, n_codes, tp):
+    key = (nl, nr, n_codes, tp)
+    if key in _bound_cache:
+        return _bound_cache[key]
+
+    def fn(lcode, rcode, rt, lo, hi):
+        riota = jnp.arange(nr, dtype=jnp.int32)
+        src, srt, sr = jax.lax.sort([rcode, rt, riota], num_keys=2,
+                                    is_stable=True)
+        cnt = G.matmul_tasks_scan(
+            src.astype(jnp.int32), [jnp.ones(nr, jnp.float32)],
+            n_codes + 1, nr)[0].astype(jnp.int64)[:n_codes]
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64), jnp.cumsum(cnt)[:-1]])
+        lc32 = jnp.clip(lcode, 0, n_codes - 1).astype(jnp.int32)
+        g_cnt = cnt[lc32]
+        g_fi = starts[lc32]
+        g_ti = g_fi + g_cnt - 1
+        has_group = g_cnt > 0
+
+        lo_tie = jnp.int32(1 if tp == 0 else -1)
+        codes_all = jnp.concatenate([rcode, lcode, lcode])
+        times_all = jnp.concatenate([rt, lo, hi])
+        ties = jnp.concatenate([jnp.zeros(nr, jnp.int32),
+                                jnp.full(nl, lo_tie, jnp.int32),
+                                jnp.ones(nl, jnp.int32)])
+        eidx = jnp.concatenate([jnp.full(nr, -1, jnp.int32),
+                                jnp.arange(2 * nl, dtype=jnp.int32)])
+        _sc, _st2, _tt, seidx = jax.lax.sort(
+            [codes_all, times_all, ties, eidx], num_keys=3,
+            is_stable=True)
+        is_right = seidx < 0
+        prefix = jnp.cumsum(is_right.astype(jnp.int64))
+        key2 = jnp.where(is_right, jnp.int32(2 * nl), seidx)
+        _k2, pref_by_event = jax.lax.sort(
+            [key2, prefix], num_keys=1, is_stable=True)
+        p_lo = pref_by_event[:nl]
+        p_hi = pref_by_event[nl:2 * nl]
+        p_lo_r = p_lo - 1
+        p_lo_l = p_lo
+        p_hi_r = p_hi - 1
+
+        if tp == 0:
+            li = jnp.where(p_lo_r < g_fi, g_fi,
+                           jnp.minimum(p_lo_r, g_ti))
+        else:
+            li = jnp.where((p_lo_l > g_ti) | (p_lo_l < g_fi), g_fi,
+                           jnp.maximum(p_lo_l, g_fi))
+        ri = jnp.where(p_hi_r < g_fi, g_fi, jnp.minimum(p_hi_r, g_ti))
+        safe_li = jnp.clip(li, 0, max(nr - 1, 0)).astype(jnp.int32)
+        safe_ri = jnp.clip(ri, 0, max(nr - 1, 0)).astype(jnp.int32)
+        valid = has_group & (srt[safe_li] <= hi)
+        if tp == 1:
+            valid = valid & (srt[safe_ri] >= lo)
+        ok = valid & (li <= ri)
+        return sr, safe_li, safe_ri, ok
+
+    f = jax.jit(fn)
+    _bound_cache[key] = f
+    return f
+
+
+@jax.jit
+def _k_count(li, ri, ok):
+    return jnp.where(ok, (ri - li + 1).astype(jnp.int64), 0)
+
+
+@partial(jax.jit, static_argnames=("rtype", "last"))
+def _k_first_last(colarr, sr, li, ri, ok, rtype, last):
+    g = colarr[sr][ri if last else li]
+    if rtype == T.F64:
+        return jnp.where(ok, g, jnp.float64(np.nan))
+    nv = T.NULL_BY_TYPE.get(rtype if rtype != T.ENUM else T.SYMBOL)
+    if nv is None:
+        return jnp.where(ok, g, 0)
+    return jnp.where(ok, g, np.int64(nv).astype(g.dtype))
+
+
+@partial(jax.jit, static_argnames=("rtype", "want_avg"))
+def _k_sum_avg(colarr, sr, li, ri, ok, rtype, want_avg):
+    v = colarr[sr]
+    nn = _null_mask_t(v, rtype)
+    vz = jnp.where(nn, 0, v).astype(jnp.float64)
+    cs = jnp.concatenate([jnp.zeros(1, jnp.float64), jnp.cumsum(vz)])
+    s = cs[ri + 1] - cs[li]
+    if not want_avg:
+        if rtype == T.F64:
+            return jnp.where(ok, s, 0.0)
+        return jnp.where(ok, s.astype(jnp.int64), 0)
+    cn = jnp.concatenate([jnp.zeros(1, jnp.float64),
+                          jnp.cumsum((~nn).astype(jnp.float64))])
+    c = cn[ri + 1] - cn[li]
+    a = jnp.where(c > 0, s / c, jnp.float64(np.nan))
+    return jnp.where(ok & (c > 0), a, jnp.float64(np.nan))
+
+
+@partial(jax.jit, static_argnames=("rtype", "op"))
+def _k_minmax(colarr, sr, li, ri, ok, rtype, op):
+    v = colarr[sr]
+    is_min = op == "min"
+    if rtype == T.F64:
+        vv = jnp.where(jnp.isnan(v), _lim(jnp.float64, op), v)
+    else:
+        vv = v.astype(jnp.int64)
+        nv = T.NULL_BY_TYPE.get(rtype)
+        if nv is not None:
+            vv = jnp.where(vv == np.int64(nv), _lim(jnp.int64, op), vv)
+    levels = _dst_build(vv, op)
+    red = _dst_query(vv, levels, op, li, ri)
+    if rtype == T.F64:
+        bad = jnp.isinf(red) & ((red > 0) == is_min)
+        return jnp.where(ok & ~bad, red, jnp.float64(np.nan))
+    empty = red == (G.KEY_MAX if is_min else G.I64_MIN)
+    nv2 = np.int64(T.NULL_BY_TYPE.get(rtype, T.NULL_I64))
+    return jnp.where(ok & ~empty, red, nv2)
+
+
+# -- entry --------------------------------------------------------------------
+
+def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
+    """Window aggregates on device. lkeys/rkeys = leading keys + time
+    (last). aggs: [(out_sid, name, right_col_Obj, rtype)]. Returns
+    {out_sid: lazy Obj} or None if unsupported."""
+    lead_l, time_l = lkeys[:-1], lkeys[-1]
+    lead_r, time_r = rkeys[:-1], rkeys[-1]
+    for _sid, name, _c, rtype in aggs:
+        if name in ("sum", "avg") and rtype not in SUM_TYPE:
+            return None
+        if name in ("min", "max") and rtype not in MINMAX_OK:
+            return None
+        if name not in ("count", "first", "last", "sum", "avg",
+                        "min", "max"):
+            return None
+    if lead_l:
+        metas = _key_ranges(lead_l, lead_r)
+        if metas is None:
+            return None
+        total = 1
+        for _lo, rng in metas:
+            total *= rng
+        if total > dev._cfg["dense_max"]:
+            return None
+        lcode = _pack_codes(lead_l, metas).astype(jnp.int64)
+        rcode = _pack_codes(lead_r, metas).astype(jnp.int64)
+        n_codes = total
+    else:
+        lcode = jnp.zeros(len(time_l), jnp.int64)
+        rcode = jnp.zeros(len(time_r), jnp.int64)
+        n_codes = 1
+
+    rt_d = dev.dev_col(time_r).astype(jnp.int64)
+    lo_d = jnp.asarray(np.asarray(lo_np, dtype=np.int64))
+    hi_d = jnp.asarray(np.asarray(hi_np, dtype=np.int64))
+    nl, nr = int(lcode.shape[0]), int(rcode.shape[0])
+    if nl == 0 or nr == 0:
+        return None
+
+    f = _boundaries_fn(nl, nr, n_codes, tp)
+    sr, li, ri, ok = f(lcode, rcode, rt_d, lo_d, hi_d)
+
+    out = {}
+    for out_sid, name, rcol, rtype in aggs:
+        if name == "count":
+            out[out_sid] = _lazy(T.I64,
+                                 lambda: _k_count(li, ri, ok), nl)
+        elif name in ("first", "last"):
+            ot = rtype if rtype != T.ENUM else rtype
+            out[out_sid] = _lazy(
+                ot, lambda c=rcol, lst=(name == "last"), rt_=rtype:
+                _k_first_last(dev.dev_col(c), sr, li, ri, ok, rt_,
+                              lst), nl, domain=rcol.domain)
+        elif name in ("sum", "avg"):
+            ot = T.F64 if name == "avg" else SUM_TYPE[rtype]
+            out[out_sid] = _lazy(
+                ot, lambda c=rcol, w=(name == "avg"), rt_=rtype:
+                _k_sum_avg(dev.dev_col(c), sr, li, ri, ok, rt_, w), nl)
+        else:
+            out[out_sid] = _lazy(
+                rtype, lambda c=rcol, op=name, rt_=rtype:
+                _k_minmax(dev.dev_col(c), sr, li, ri, ok, rt_, op), nl)
+    return out
+
+
+def _lazy(t, thunk, n, domain=None):
+    o = Obj(t, DevPending(thunk=thunk, shape=(n,)), domain=domain)
+    o.meta = {}
+    return o

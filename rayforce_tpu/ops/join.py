@@ -406,6 +406,60 @@ def window_ranges(lkeys: list, rkeys_sorted: list, lo: np.ndarray,
                        np.where(valid, ri, -1), valid)
 
 
+_WJ_AGGS = ("sum", "avg", "min", "max", "count", "first", "last")
+
+
+def _try_device_window_join(interp, keys, windows, lt, rt, aggd, tp):
+    """Device window join (engine/wjoin.py): event-sort boundaries +
+    cumsum / sparse-table range aggregates. Falls back to the host on
+    any unsupported shape."""
+    from ..engine import device as dv
+    if not dv.available() or not dv.should_use(len(lt) + len(rt)):
+        return None
+    try:
+        from ..engine import wjoin as ew
+        from ..core.interp import Builtin
+        lk = _key_cols(lt, keys)
+        rk = _key_cols(rt, keys)
+        akeys, avals = aggd.v
+        aggs = []
+        for i, sid in enumerate(to_np(akeys)):
+            ast = avals.v[i]
+            if ast.t != T.LIST or len(ast.v) != 2:
+                return None
+            head = ast.v[0]
+            nm = head.v.name if head.t in (T.UNARY, T.BINARY, T.VARY) \
+                and isinstance(head.v, Builtin) else None
+            if nm not in _WJ_AGGS:
+                return None
+            carg = ast.v[1]
+            if carg.t != -T.SYMBOL or (carg.attrs & 1):
+                return None
+            col = col_by_name(rt, symbols.name_of(int(carg.v)))
+            if col is None or col.t in (T.LIST, T.C8, T.GUID) or \
+                    col.t in T.UNPARTED_OF:
+                return None
+            aggs.append((int(sid), nm, col,
+                         col.t if col.t != T.ENUM else T.ENUM))
+        lo = to_np(windows.v[0]).astype(np.int64)
+        hi = to_np(windows.v[1]).astype(np.int64)
+        if len(lo) != len(lt) or len(hi) != len(lt):
+            return None
+        res = ew.window_join_device(lk, rk, lo, hi, aggs, tp)
+        if res is None:
+            return None
+        out_names = list(to_np(lt.v[0])) + [s for s, _n, _c, _t
+                                            in aggs]
+        out_cols = list(lt.v[1]) + [res[s] for s, _n, _c, _t in aggs]
+        return table(Obj(T.SYMBOL, np.asarray(out_names,
+                                              dtype=np.int64)),
+                     out_cols)
+    except Exception as e:
+        from ..engine.select import warn_fallback
+        warn_fallback(e)
+        return None
+
+
 def ray_window_join(interp, args: list, tp: int) -> Obj:
     """(window-join [keys] windows ltab rtab aggdict) (join.c:358-489)."""
     from ..ops.sort import ray_xasc
@@ -423,6 +477,10 @@ def ray_window_join(interp, args: list, tp: int) -> Obj:
         raise err_type("window-join needs tables")
     if aggd.t != T.DICT:
         raise err_type("window-join needs an aggregation dict")
+    fast = _try_device_window_join(interp, keys, windows, lt, rt, aggd,
+                                   tp)
+    if fast is not None:
+        return fast
     jtab = ray_xasc(rt, keys)
     lk = _key_cols(lt, keys)
     rk = _key_cols(jtab, keys)
