@@ -68,6 +68,57 @@ def _parse_col(vals: list, t: int) -> Obj:
     raise err_type(f"read-csv: unsupported column type {t}")
 
 
+def _read_csv_native(tcodes, path: str, sep: str):
+    """Multithreaded typed parse via the C++ runtime
+    (native/rayforce_native.cpp, the analogue of the reference's
+    parallel line-range CSV, core/io.c:535-632). Returns None when the
+    native library or a column type is unavailable."""
+    from .native import NativeCsv, lib
+    from ..core.obj import list_
+    if lib() is None:
+        return None
+    if any(t not in (T.I16, T.I32, T.I64, T.U8, T.B8, T.F64, T.SYMBOL,
+                     T.DATE, T.TIME, T.TIMESTAMP, T.C8)
+           for t in tcodes):
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    nc = NativeCsv(data, sep)
+    if nc.n_rows == 0:
+        return None
+    hdr_end = data.find(b"\n")
+    header = data[:hdr_end if hdr_end >= 0 else len(data)] \
+        .rstrip(b"\r").decode().split(sep)
+    if len(tcodes) != len(header):
+        raise RayError("length", "read-csv type count mismatch")
+    nc.slice_rows(1, nc.n_rows)   # drop the header line
+    cols = []
+    for i, t in enumerate(tcodes):
+        if t in (T.I16, T.I32, T.I64, T.U8, T.B8):
+            nullv = int(T.NULL_BY_TYPE.get(t, 0))
+            a = nc.col_i64(i, nullv)
+            cols.append(Obj(t, a.astype(T.DTYPE[t])))
+        elif t == T.F64:
+            cols.append(Obj(T.F64, nc.col_f64(i)))
+        elif t == T.DATE:
+            cols.append(Obj(T.DATE,
+                            nc.col_date(i, int(T.NULL_I32))))
+        elif t == T.TIME:
+            cols.append(Obj(T.TIME,
+                            nc.col_time(i, int(T.NULL_I32))))
+        elif t == T.TIMESTAMP:
+            cols.append(Obj(T.TIMESTAMP,
+                            nc.col_timestamp(i, int(T.NULL_I64))))
+        elif t == T.SYMBOL:
+            strs, inv = nc.col_strings(i)
+            ids = np.fromiter((symbols.intern(s) for s in strs),
+                              dtype=np.int64, count=len(strs))
+            cols.append(Obj(T.SYMBOL, ids[inv]))
+        else:  # C8
+            cols.append(list_([string(b) for b in nc.col_raw(i)]))
+    return table(vec_sym(header), cols)
+
+
 def read_csv(types_o: Obj, path: str, sep: str = ",") -> Obj:
     from ..ops.cast import NAME2TYPE
     if types_o.t != T.SYMBOL:
@@ -79,6 +130,14 @@ def read_csv(types_o: Obj, path: str, sep: str = ",") -> Obj:
         if t is None:
             raise err_value(f"unknown type {nm}")
         tcodes.append(t)
+    try:
+        fast = _read_csv_native(tcodes, path, sep)
+        if fast is not None:
+            return fast
+    except RayError:
+        raise
+    except Exception:
+        pass  # fall back to the Python parser
     with open(path, "r", newline="") as f:
         header = f.readline().rstrip("\r\n").split(sep)
         raw_cols: list[list] = [[] for _ in header]
