@@ -36,6 +36,7 @@ from . import groupby as G
 _MAXC = 1 << 62
 _PACKABLE = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
              T.TIMESTAMP, T.SYMBOL)
+_DEV_COL_OK_SORT = _PACKABLE + (T.F64, T.ENUM)
 _kernel_cache: dict = {}
 
 

@@ -94,10 +94,39 @@ def _table_order(tbl: Obj, by: Obj, desc: bool) -> np.ndarray:
     return order.astype(np.int64)
 
 
+def _try_device_xsort(tbl: Obj, by: Obj, desc: bool):
+    from ..engine import device as dv
+    if not dv.available() or not dv.should_use(len(tbl)):
+        return None
+    try:
+        from ..core.obj import col_by_name
+        from ..engine.sort import xsort_device
+        if by.t == -T.SYMBOL:
+            names = [symbols.name_of(int(by.v))]
+        elif by.t == T.SYMBOL:
+            names = [symbols.name_of(int(s)) for s in to_np(by)]
+        else:
+            return None
+        key_cols = []
+        for nm in names:
+            c = col_by_name(tbl, nm)
+            if c is None:
+                return None
+            key_cols.append(c)
+        return xsort_device(tbl, key_cols, desc)
+    except Exception as e:
+        from ..engine.select import warn_fallback
+        warn_fallback(e)
+        return None
+
+
 def ray_xasc(tbl: Obj, by: Obj) -> Obj:
     """(xasc table 'col) / (xasc table [cols]) (order.c:246)."""
     if tbl.t != T.TABLE:
         raise err_type("xasc needs a table")
+    fast = _try_device_xsort(tbl, by, False)
+    if fast is not None:
+        return fast
     order = _table_order(tbl, by, False)
     names, cols = tbl.v
     return table(names, [gather(c, order) for c in cols])
@@ -106,6 +135,9 @@ def ray_xasc(tbl: Obj, by: Obj) -> Obj:
 def ray_xdesc(tbl: Obj, by: Obj) -> Obj:
     if tbl.t != T.TABLE:
         raise err_type("xdesc needs a table")
+    fast = _try_device_xsort(tbl, by, True)
+    if fast is not None:
+        return fast
     order = _table_order(tbl, by, True)
     names, cols = tbl.v
     return table(names, [gather(c, order) for c in cols])
