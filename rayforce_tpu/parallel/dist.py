@@ -156,6 +156,65 @@ def dist_shuffle(mesh: Mesh, capacity: int):
     return jax.jit(kernel)
 
 
+# -- distributed fused select (small dense code space) ------------------------
+
+def dist_select_small(mesh: Mesh, n_codes: int, shard_rows_n: int,
+                      n_sums: int, n_mins: int, n_maxs: int,
+                      n_int_tasks: int):
+    """The multi-chip version of engine/select.py's small-n pipeline:
+    each chip runs the shard-local broadcast-mask scan + one-hot matmul
+    tasks over its rows; combines are psum (counts / sums / integer
+    limb tasks), pmin (fidx, mins), pmax (lidx, maxs) over ICI — the
+    reference's per-thread partials + AGGR_COLLECT merge
+    (core/aggr.c:163-181) lifted onto the mesh.
+
+    Inputs (all row-sharded): codes (i32, trash = n_codes for filtered
+    rows), int-task weight f32 arrays, f64 sum arrays (nulls zeroed),
+    min/max i64-or-f64 arrays (nulls pre-mapped). Outputs: replicated
+    dense lanes.
+    """
+    from ..engine import groupby as G
+    axis = mesh.axis_names[0]
+    nin = 1 + n_int_tasks + n_sums + n_mins + n_maxs
+    specs = tuple(P(axis) for _ in range(nin))
+
+    @partial(shard_map, mesh=mesh, in_specs=specs,
+             out_specs=P(), check_rep=False)
+    def kernel(codes, *rest):
+        me = jax.lax.axis_index(axis)
+        n = codes.shape[0]
+        int_ws = rest[:n_int_tasks]
+        sums = rest[n_int_tasks:n_int_tasks + n_sums]
+        mins = rest[n_int_tasks + n_sums:
+                    n_int_tasks + n_sums + n_mins]
+        maxs = rest[n_int_tasks + n_sums + n_mins:]
+        tasks = [jnp.ones(n, jnp.float32)] + list(int_ws)
+        dense = G.matmul_tasks_scan(codes, tasks, n_codes + 1, n)
+        out = {"counts": jax.lax.psum(dense[0][:n_codes], axis)}
+        for i in range(n_int_tasks):
+            out[f"task{i}"] = jax.lax.psum(dense[1 + i][:n_codes],
+                                           axis)
+        bc = G.bcast_scan(codes, n_codes, n, sums=tuple(sums),
+                          mins=tuple(mins), maxs=tuple(maxs),
+                          want_counts=False, want_fidx=True)
+        off = me.astype(jnp.int64) * shard_rows_n
+        fidx = jnp.where(bc["fidx"] == G.KEY_MAX,
+                         jnp.int64(G.KEY_MAX), bc["fidx"] + off)
+        lidx = jnp.where(bc["lidx"] < 0, jnp.int64(-1),
+                         bc["lidx"] + off)
+        out["fidx"] = jax.lax.pmin(fidx, axis)
+        out["lidx"] = jax.lax.pmax(lidx, axis)
+        for i in range(n_sums):
+            out[f"sum{i}"] = jax.lax.psum(bc[f"sum{i}"], axis)
+        for i in range(n_mins):
+            out[f"min{i}"] = jax.lax.pmin(bc[f"min{i}"], axis)
+        for i in range(n_maxs):
+            out[f"max{i}"] = jax.lax.pmax(bc[f"max{i}"], axis)
+        return out
+
+    return jax.jit(kernel)
+
+
 # -- end-to-end distributed aggregate query ----------------------------------
 
 def dist_filter_group_sum(mesh: Mesh, n_codes: int):

@@ -1,0 +1,119 @@
+"""Distributed (multi-chip) kernels on a virtual 8-device CPU mesh.
+
+The reference has no distributed tests (SURVEY §4); this is the
+single-process multi-device simulation story the TPU build adds:
+shard_map SPMD kernels validated against numpy ground truth.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+# must run in a subprocess-isolated jax config: force 8 CPU devices
+# before any backend use
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+    if len(jax.devices()) < 8:
+        pytest.skip("cannot create 8 virtual devices "
+                    "(backend already initialized)")
+    from rayforce_tpu.parallel import dist
+    return dist.make_mesh(8)
+
+
+def test_dist_groupby_sum(mesh8):
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(0)
+    n_codes = 37
+    n = 8 * 512
+    codes = rng.integers(0, n_codes, n).astype(np.int32)
+    vals = rng.uniform(0, 10, n).astype(np.float32)
+    cd, _ = dist.shard_rows(mesh8, codes)
+    vd, _ = dist.shard_rows(mesh8, vals)
+    f = dist.dist_groupby_sum(mesh8, n_codes)
+    got = np.asarray(f(cd, vd))[:n_codes]
+    ref = np.zeros(n_codes)
+    np.add.at(ref, codes, vals.astype(np.float64))
+    assert np.allclose(got, ref, rtol=1e-5)
+
+
+def test_dist_select_small(mesh8):
+    from rayforce_tpu.parallel import dist
+    import jax.numpy as jnp
+    from rayforce_tpu.engine import groupby as G
+    rng = np.random.default_rng(1)
+    n_codes = 20
+    per = 1024
+    n = 8 * per
+    codes = rng.integers(0, n_codes, n).astype(np.int32)
+    mask = rng.random(n) > 0.3
+    codes_m = np.where(mask, codes, n_codes).astype(np.int32)
+    vals = rng.uniform(-5, 5, n)
+    ints = rng.integers(0, 200, n).astype(np.int64)
+
+    cd, _ = dist.shard_rows(mesh8, codes_m)
+    sd, _ = dist.shard_rows(mesh8, vals)
+    mind, _ = dist.shard_rows(mesh8, np.where(mask, ints,
+                                              G.KEY_MAX))
+    maxd, _ = dist.shard_rows(mesh8, np.where(mask, ints,
+                                              G.I64_MIN))
+    taskd, _ = dist.shard_rows(mesh8, ints.astype(np.float32))
+
+    f = dist.dist_select_small(mesh8, n_codes, per, n_sums=1,
+                               n_mins=1, n_maxs=1, n_int_tasks=1)
+    out = f(cd, taskd, sd, mind, maxd)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    keep = mask
+    ref_cnt = np.bincount(codes[keep], minlength=n_codes)
+    assert np.array_equal(out["counts"].astype(np.int64), ref_cnt)
+
+    ref_sum = np.zeros(n_codes)
+    np.add.at(ref_sum, codes[keep], vals[keep])
+    assert np.allclose(out["sum0"], ref_sum, atol=1e-9)
+
+    ref_isum = np.zeros(n_codes)
+    np.add.at(ref_isum, codes[keep], ints[keep].astype(np.float64))
+    assert np.allclose(out["task0"], ref_isum)
+
+    ref_min = np.full(n_codes, G.KEY_MAX)
+    np.minimum.at(ref_min, codes[keep], ints[keep])
+    assert np.array_equal(out["min0"], ref_min)
+    ref_max = np.full(n_codes, G.I64_MIN)
+    np.maximum.at(ref_max, codes[keep], ints[keep])
+    assert np.array_equal(out["max0"], ref_max)
+
+    # first-appearance index per group (global row ids)
+    ref_fidx = np.full(n_codes, G.KEY_MAX, dtype=np.int64)
+    idx = np.arange(n)
+    for g in range(n_codes):
+        rows = idx[(codes == g) & keep]
+        if len(rows):
+            ref_fidx[g] = rows[0]
+    assert np.array_equal(out["fidx"], ref_fidx)
+
+
+def test_dist_shuffle_routing(mesh8):
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(2)
+    n = 8 * 256
+    keys = rng.integers(0, 5000, n).astype(np.int64)
+    vals = rng.integers(0, 100, n).astype(np.int64)
+    kd, _ = dist.shard_rows(mesh8, keys)
+    vd, _ = dist.shard_rows(mesh8, vals)
+    f = dist.dist_shuffle(mesh8, capacity=512)
+    rk, rv, valid = f(kd, vd)
+    rk = np.asarray(rk).reshape(8, -1)
+    valid = np.asarray(valid).reshape(8, -1)
+    for d in range(8):
+        got = rk[d][valid[d]]
+        assert (got % 8 == d).all()
+    assert int(valid.sum()) == n
