@@ -278,7 +278,7 @@ def build_env(interp_holder: dict) -> Env:
     R("resolve", U, fn_resolve)
     R("show", U, misc.ray_show)
     R("meta", U, misc.ray_meta)
-    R("system", U, _stub_unary("system"))
+    R("system", U, _fn_system)
     R("os-get-var", U, _fn_os_get)
     R("unify", U, compose.ray_unify)
     R("raze", U, compose.ray_raze)
@@ -483,6 +483,26 @@ def _stub_unary(name):
     def f(o):
         raise RayError("nyi", f"{name} not yet implemented")
     return f
+
+
+def _fn_system(o):
+    """(system "cmd"): run via the shell with stderr folded in; one
+    output line returns a string, many a list of strings, none an
+    empty string (reference core/sys.c:362-410)."""
+    import subprocess
+    if o.t != T.C8:
+        raise err_type("system needs a string")
+    r = subprocess.run(str_of(o) + " 2>&1", shell=True,
+                       capture_output=True)
+    lines = r.stdout.decode("utf-8", errors="replace").split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    if not lines:
+        return string("")
+    if len(lines) == 1:
+        return string(lines[0])
+    from .obj import list_
+    return list_([string(ln) for ln in lines])
 
 
 def _fn_os_get(o):

@@ -155,11 +155,15 @@ def _dst_query(vals, tab, op, li, ri):
     k = _msb((li ^ ri).astype(jnp.int32))
     base = vals[li]
 
-    # same 128-block: mini DST level k
+    # same 128-block: mini DST level k. NOTE: flat 1D gathers — a 2D
+    # stack[k, i] gather of emulated f64 materializes as f32[n, 2]
+    # with a (8,128) tile = 64x padding blowup (OOM at 20M rows).
+    n = vals.shape[0]
     if tab["mini"]:
-        mstack = jnp.stack(tab["mini"])
+        mflat = jnp.concatenate(tab["mini"])
         mk = jnp.clip(k, 0, len(tab["mini"]) - 1)
-        small = fn(mstack[mk, li], mstack[mk, ri])
+        off = mk.astype(jnp.int64) * n
+        small = fn(mflat[off + li], mflat[off + ri])
     else:
         small = base
 
@@ -174,10 +178,12 @@ def _dst_query(vals, tab, op, li, ri):
     s_lo = jnp.clip(lo_b, 0, tab["bsum"].shape[0] - 1)
     s_hi = jnp.clip(hi_b, 0, tab["bsum"].shape[0] - 1)
     if tab["bdst"]:
+        nb = tab["bsum"].shape[0]
         bk = _msb((s_lo ^ s_hi).astype(jnp.int32))
-        bstack = jnp.stack(tab["bdst"])
+        bflat = jnp.concatenate(tab["bdst"])
         bkk = jnp.clip(bk, 0, len(tab["bdst"]) - 1)
-        mid = fn(bstack[bkk, s_lo], bstack[bkk, s_hi])
+        boff = bkk.astype(jnp.int64) * nb
+        mid = fn(bflat[boff + s_lo], bflat[boff + s_hi])
         mid = jnp.where(s_lo == s_hi, tab["bsum"][s_lo], mid)
     else:
         mid = tab["bsum"][s_lo]

@@ -33,6 +33,9 @@ def grouped_aggregate(name: str, col: Obj, index) -> Obj:
     if col.t == T.MAPFILTER:
         from .filter import filter_collect
         col = filter_collect(col.v[0], col.v[1])
+    if col.t in T.UNPARTED_OF:
+        from .parted import parted_raze
+        col = parted_raze(col)
     t = col.t
     if t == T.ENUM and name in ("first", "last", "count", "collect", "row"):
         pass

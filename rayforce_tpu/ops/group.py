@@ -41,8 +41,13 @@ def _first_appearance(codes: np.ndarray) -> GroupIndex:
 
 def _col_codes(col: Obj) -> np.ndarray:
     """Integer codes for grouping a column. f64 uses bit patterns so NaN
-    groups as a single value; GUID hashes rows."""
+    groups as a single value; GUID hashes rows; parted columns (incl.
+    the virtual Date, storage/parted.py) raze to flat first."""
     t = col.t
+    if t in T.UNPARTED_OF:
+        from .parted import parted_raze as raze_parted
+        col = raze_parted(col)
+        t = col.t
     if t == T.LIST:
         raise err_type("cannot group a list column")
     a = to_np(col)

@@ -148,6 +148,12 @@ def _compute(op: str, ct: int, va, vb):
 
 def arith(op: str, a: Obj, b: Obj) -> Obj:
     """Elementwise arithmetic with broadcasting, recursion over LIST/dict."""
+    if a.t in T.UNPARTED_OF or b.t in T.UNPARTED_OF:
+        from .parted import parted_raze
+        if a.t in T.UNPARTED_OF:
+            a = parted_raze(a)
+        if b.t in T.UNPARTED_OF:
+            b = parted_raze(b)
     # list / dict recursion (FN_ATOMIC mapping)
     for x, y, flip in ((a, b, False), (b, a, True)):
         if x.t == T.LIST:
@@ -232,7 +238,16 @@ def _cmp_key(o: Obj):
     return CMP_CLASS.get(t), v
 
 
+def _unpart(o: Obj) -> Obj:
+    if o.t in T.UNPARTED_OF:
+        from .parted import parted_raze
+        return parted_raze(o)
+    return o
+
+
 def compare(op: str, a: Obj, b: Obj) -> Obj:
+    a = _unpart(a)
+    b = _unpart(b)
     for x, y, flip in ((a, b, False), (b, a, True)):
         if x.t == T.LIST:
             from ..core.obj import at_idx
