@@ -60,6 +60,8 @@ def _null_mask_t(arr, rtype: int):
 def _lim(dtype, op):
     if dtype == jnp.float64:
         return jnp.float64(np.inf if op == "min" else -np.inf)
+    if dtype == jnp.int32:
+        return jnp.int32(0x7FFFFFFF if op == "min" else -0x80000000)
     return jnp.int64(G.KEY_MAX if op == "min" else G.I64_MIN)
 
 
@@ -200,15 +202,22 @@ def _dst_query(vals, tab, op, li, ri):
 _bound_cache: dict = {}
 
 
-def _boundaries_fn(nl, nr, n_codes, tp):
-    key = (nl, nr, n_codes, tp)
+def _boundaries_fn(nl, nr, n_codes, tp, n_pay, pay_dtypes):
+    """NOTE on layouts: dynamic gathers of 64-bit (emulated) values
+    materialize as f32/u32[n, 2] buffers with (8,128) tiles — a 64x
+    padding blowup that OOMs at 10M+ rows. Sorts are layout-safe, so
+    aggregate input columns ride this sort as payloads instead of
+    being gathered by the sorted row order afterwards."""
+    key = (nl, nr, n_codes, tp, n_pay, pay_dtypes)
     if key in _bound_cache:
         return _bound_cache[key]
 
-    def fn(lcode, rcode, rt, lo, hi):
+    def fn(lcode, rcode, rt, lo, hi, *pays):
         riota = jnp.arange(nr, dtype=jnp.int32)
-        src, srt, sr = jax.lax.sort([rcode, rt, riota], num_keys=2,
-                                    is_stable=True)
+        sorted_r = jax.lax.sort([rcode, rt, riota] + list(pays),
+                                num_keys=2, is_stable=True)
+        src, srt, sr = sorted_r[0], sorted_r[1], sorted_r[2]
+        spays = sorted_r[3:]
         cnt = G.matmul_tasks_scan(
             src.astype(jnp.int32), [jnp.ones(nr, jnp.float32)],
             n_codes + 1, nr)[0].astype(jnp.int64)[:n_codes]
@@ -255,7 +264,7 @@ def _boundaries_fn(nl, nr, n_codes, tp):
         if tp == 1:
             valid = valid & (srt[safe_ri] >= lo)
         ok = valid & (li <= ri)
-        return sr, safe_li, safe_ri, ok
+        return (sr, safe_li, safe_ri, ok) + tuple(spays)
 
     f = jax.jit(fn)
     _bound_cache[key] = f
@@ -268,8 +277,8 @@ def _k_count(li, ri, ok):
 
 
 @partial(jax.jit, static_argnames=("rtype", "last"))
-def _k_first_last(colarr, sr, li, ri, ok, rtype, last):
-    g = colarr[sr][ri if last else li]
+def _k_first_last(sv, li, ri, ok, rtype, last):
+    g = sv[ri if last else li]
     if rtype == T.F64:
         return jnp.where(ok, g, jnp.float64(np.nan))
     nv = T.NULL_BY_TYPE.get(rtype if rtype != T.ENUM else T.SYMBOL)
@@ -279,10 +288,9 @@ def _k_first_last(colarr, sr, li, ri, ok, rtype, last):
 
 
 @partial(jax.jit, static_argnames=("rtype", "want_avg"))
-def _k_sum_avg(colarr, sr, li, ri, ok, rtype, want_avg):
-    v = colarr[sr]
-    nn = _null_mask_t(v, rtype)
-    vz = jnp.where(nn, 0, v).astype(jnp.float64)
+def _k_sum_avg(sv, li, ri, ok, rtype, want_avg):
+    nn = _null_mask_t(sv, rtype)
+    vz = jnp.where(nn, 0, sv).astype(jnp.float64)
     cs = jnp.concatenate([jnp.zeros(1, jnp.float64), jnp.cumsum(vz)])
     s = cs[ri + 1] - cs[li]
     if not want_avg:
@@ -296,25 +304,53 @@ def _k_sum_avg(colarr, sr, li, ri, ok, rtype, want_avg):
     return jnp.where(ok & (c > 0), a, jnp.float64(np.nan))
 
 
+# min/max run the range structure over i32 VALUE RANKS (two extra
+# sorts) and look the winning value up at the very end: gathers of
+# 64-bit emulated values explode 64x in padding (see _boundaries_fn),
+# i32 gathers are layout-clean.
+
 @partial(jax.jit, static_argnames=("rtype", "op"))
-def _k_minmax(colarr, sr, li, ri, ok, rtype, op):
-    v = colarr[sr]
+def _k_minmax_rank(sv, li, ri, ok, rtype, op):
+    n = sv.shape[0]
     is_min = op == "min"
     if rtype == T.F64:
-        vv = jnp.where(jnp.isnan(v), _lim(jnp.float64, op), v)
+        key = jnp.where(jnp.isnan(sv), _lim(jnp.float64, op), sv)
     else:
-        vv = v.astype(jnp.int64)
+        key = sv.astype(jnp.int64)
         nv = T.NULL_BY_TYPE.get(rtype)
         if nv is not None:
-            vv = jnp.where(vv == np.int64(nv), _lim(jnp.int64, op), vv)
-    levels = _dst_build(vv, op)
-    red = _dst_query(vv, levels, op, li, ri)
+            key = jnp.where(key == np.int64(nv),
+                            _lim(jnp.int64, op), key)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _k, order = jax.lax.sort([key, iota], num_keys=1, is_stable=True)
+    _o, rank = jax.lax.sort([order, iota], num_keys=1, is_stable=True)
+    tab = _dst_build(rank, op)
+    return _dst_query(rank, tab, op, li, ri)
+
+
+@partial(jax.jit, static_argnames=("rtype", "op"))
+def _k_minmax_value(sv, red, ok, rtype, op):
+    """Resolve winning ranks to values (the one padded 64-bit gather,
+    isolated in its own executable so the transient fits)."""
+    n = sv.shape[0]
+    is_min = op == "min"
     if rtype == T.F64:
-        bad = jnp.isinf(red) & ((red > 0) == is_min)
-        return jnp.where(ok & ~bad, red, jnp.float64(np.nan))
-    empty = red == (G.KEY_MAX if is_min else G.I64_MIN)
+        key = jnp.where(jnp.isnan(sv), _lim(jnp.float64, op), sv)
+    else:
+        key = sv.astype(jnp.int64)
+        nv = T.NULL_BY_TYPE.get(rtype)
+        if nv is not None:
+            key = jnp.where(key == np.int64(nv),
+                            _lim(jnp.int64, op), key)
+    vo = jax.lax.sort([key], num_keys=1)[0]
+    safe = jnp.clip(red, 0, n - 1)
+    out = vo[safe]
+    if rtype == T.F64:
+        empty = jnp.isinf(out) & ((out > 0) == is_min)
+        return jnp.where(ok & ~empty, out, jnp.float64(np.nan))
+    empty = out == (G.KEY_MAX if is_min else G.I64_MIN)
     nv2 = np.int64(T.NULL_BY_TYPE.get(rtype, T.NULL_I64))
-    return jnp.where(ok & ~empty, red, nv2)
+    return jnp.where(ok & ~empty, out, nv2)
 
 
 # -- entry --------------------------------------------------------------------
@@ -357,29 +393,41 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
     if nl == 0 or nr == 0:
         return None
 
-    f = _boundaries_fn(nl, nr, n_codes, tp)
-    sr, li, ri, ok = f(lcode, rcode, rt_d, lo_d, hi_d)
+    # aggregate input columns ride the boundary sort as payloads
+    pay_cols = []
+    pay_slot = {}
+    for _sid, name, rcol, _rt in aggs:
+        if name != "count" and id(rcol) not in pay_slot:
+            pay_slot[id(rcol)] = len(pay_cols)
+            pay_cols.append(rcol)
+    pays = [dev.dev_col(c) for c in pay_cols]
+    f = _boundaries_fn(nl, nr, n_codes, tp, len(pays),
+                       tuple(str(p.dtype) for p in pays))
+    res = f(lcode, rcode, rt_d, lo_d, hi_d, *pays)
+    sr, li, ri, ok = res[0], res[1], res[2], res[3]
+    spays = res[4:]
 
     out = {}
     for out_sid, name, rcol, rtype in aggs:
+        sv = spays[pay_slot[id(rcol)]] if name != "count" else None
         if name == "count":
             out[out_sid] = _lazy(T.I64,
                                  lambda: _k_count(li, ri, ok), nl)
         elif name in ("first", "last"):
-            ot = rtype if rtype != T.ENUM else rtype
             out[out_sid] = _lazy(
-                ot, lambda c=rcol, lst=(name == "last"), rt_=rtype:
-                _k_first_last(dev.dev_col(c), sr, li, ri, ok, rt_,
-                              lst), nl, domain=rcol.domain)
+                rtype, lambda v=sv, lst=(name == "last"), rt_=rtype:
+                _k_first_last(v, li, ri, ok, rt_, lst), nl,
+                domain=rcol.domain)
         elif name in ("sum", "avg"):
             ot = T.F64 if name == "avg" else SUM_TYPE[rtype]
             out[out_sid] = _lazy(
-                ot, lambda c=rcol, w=(name == "avg"), rt_=rtype:
-                _k_sum_avg(dev.dev_col(c), sr, li, ri, ok, rt_, w), nl)
+                ot, lambda v=sv, w=(name == "avg"), rt_=rtype:
+                _k_sum_avg(v, li, ri, ok, rt_, w), nl)
         else:
-            out[out_sid] = _lazy(
-                rtype, lambda c=rcol, op=name, rt_=rtype:
-                _k_minmax(dev.dev_col(c), sr, li, ri, ok, rt_, op), nl)
+            def mm_thunk(v=sv, op=name, rt_=rtype):
+                red = _k_minmax_rank(v, li, ri, ok, rt_, op)
+                return _k_minmax_value(v, red, ok, rt_, op)
+            out[out_sid] = _lazy(rtype, mm_thunk, nl)
     return out
 
 
