@@ -145,10 +145,11 @@ def _compile_keys(src, by_pairs):
             return None
         if len(ck.cols) == 1 and ast.t == -T.SYMBOL and \
                 ck.cols[0].col.t == T.ENUM:
-            # group on raw enum codes; decode via the domain on host
+            # group on raw enum codes; the output column stays ENUM
+            # over the same domain (host parity)
             col = ck.cols[0].col
-            dom = to_np(enum_domain(col))
-            lo, hi = 0, max(len(dom) - 1, 0)
+            dom = col.domain
+            lo, hi = 0, max(len(enum_domain(col)) - 1, 0)
             slot = ck.cols[0].slot
             ck.fn = (lambda env, s=slot: env[s])
         elif len(ck.cols) == 1 and ast.t == -T.SYMBOL:
@@ -785,7 +786,8 @@ def _decode_wide(plan: _WidePlan, ng, lanes):
         vals = (keycode // mul) % rng + lo
         out_names.append(nm)
         if dom is not None:
-            out_cols.append(Obj(T.SYMBOL, dom[vals].astype(np.int64)))
+            out_cols.append(Obj(T.ENUM, vals.astype(np.int64),
+                                domain=dom))
         elif rt == T.SYMBOL:
             out_cols.append(Obj(T.SYMBOL, vals.astype(np.int64)))
         else:
@@ -878,7 +880,8 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         vals = (slots // mul) % rng + lo
         out_names.append(nm)
         if dom is not None:
-            out_cols.append(Obj(T.SYMBOL, dom[vals].astype(np.int64)))
+            out_cols.append(Obj(T.ENUM, vals.astype(np.int64),
+                                domain=dom))
         elif rt == T.SYMBOL:
             out_cols.append(Obj(T.SYMBOL, vals.astype(np.int64)))
         else:

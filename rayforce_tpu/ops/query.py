@@ -149,6 +149,28 @@ def select_parts(interp, d: Obj):
             target_sid)
 
 
+def _flat_view(src: Obj) -> Obj:
+    """Device view of a parted table: partitions razed once and cached
+    on the table (column Obj identity is what keys the device column
+    cache, so the flattening must be stable across queries). The host
+    streaming path remains the fallback for DBs beyond device memory."""
+    _, cols = src.v
+    if not any(c.t in T.UNPARTED_OF for c in cols):
+        return src
+    if isinstance(src.meta, dict) and "flat" in src.meta:
+        return src.meta["flat"]
+    if len(src) * len(cols) * 8 > (4 << 30):   # ~4 GB guard
+        return src
+    from .parted import parted_raze
+    names, _ = src.v
+    flat = table(names, [parted_raze(c) if c.t in T.UNPARTED_OF else c
+                         for c in cols])
+    if not isinstance(src.meta, dict):
+        src.meta = {}
+    src.meta["flat"] = flat
+    return flat
+
+
 def _try_device_select(interp, d: Obj):
     """Attempt the fused TPU path (engine/select.py). Any unsupported
     shape falls back to the host interpreter with identical semantics."""
@@ -181,6 +203,7 @@ def _try_device_select(interp, d: Obj):
         from ..engine import device as _dev
         if not _dev.should_use(len(src)):
             return None
+        src = _flat_view(src)
         from ..engine.select import try_select_device
         lim = None
         if take_ast is not None:
