@@ -78,6 +78,46 @@ def should_use(n_rows: int) -> bool:
     return available() and n_rows >= _cfg["threshold"]
 
 
+_mesh_state = {"mesh": None, "checked": False}
+
+
+def mesh():
+    """The global device mesh when multi-chip mode is active
+    (RAYFORCE_MESH=N or 'auto'), else None. Selects over row-sharded
+    columns then run as SPMD shard_map pipelines with ICI combines."""
+    if not _mesh_state["checked"]:
+        _mesh_state["checked"] = True
+        spec = os.environ.get("RAYFORCE_MESH")
+        if spec:
+            try:
+                import jax as _jax
+                n = len(_jax.devices()) if spec == "auto" else int(spec)
+                if n > 1 and len(_jax.devices()) >= n:
+                    from ..parallel.dist import make_mesh
+                    _mesh_state["mesh"] = make_mesh(n)
+            except Exception:
+                _mesh_state["mesh"] = None
+    return _mesh_state["mesh"]
+
+
+def dev_col_sharded(col: Obj, m):
+    """Row-sharded device copy (padded to the mesh size; the select
+    pipeline masks pad rows via global row ids)."""
+    if isinstance(col.meta, dict) and "dev_sh" in col.meta:
+        return col.meta["dev_sh"]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    a = to_np(col)
+    n = m.shape[m.axis_names[0]]
+    pad = (-len(a)) % n
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, dtype=a.dtype)])
+    arr = jax.device_put(a, NamedSharding(m, P(m.axis_names[0])))
+    if not isinstance(col.meta, dict):
+        col.meta = {}
+    col.meta["dev_sh"] = arr
+    return arr
+
+
 def host_sharding():
     """Pinned-host placement for query outputs: the result lands in the
     remote host's memory during the execute step, making the subsequent

@@ -89,7 +89,7 @@ class _Agg:
 
 class _Plan:
     __slots__ = ("fn", "col_objs", "key_meta", "aggs", "n_codes",
-                 "lanes_meta")
+                 "lanes_meta", "spmd")
 
 
 def _null_mask(arr, rtype):
@@ -312,6 +312,30 @@ def _build_plan(src, outs, where_ast, by_ast):
     NC = n_codes
     lanes_meta = {}
 
+    # SPMD: small dense plans distribute over the global mesh — each
+    # shard runs the same bcast+matmul pipeline on its rows; dense
+    # lanes combine with psum / pmin / pmax over ICI (the reference's
+    # per-thread partials + AGGR_COLLECT, core/aggr.c:163-181, lifted
+    # onto chips). Large/wide plans (global sorts) stay single-chip.
+    m = dev.mesh()
+    spmd = m is not None and small
+    if spmd:
+        axis = m.axis_names[0]
+        n_dev = m.shape[axis]
+        rows_local = (n_rows + n_dev - 1) // n_dev
+    else:
+        axis = None
+        rows_local = n_rows
+
+    def _psum(x):
+        return jax.lax.psum(x, axis) if spmd else x
+
+    def _pmin(x):
+        return jax.lax.pmin(x, axis) if spmd else x
+
+    def _pmax(x):
+        return jax.lax.pmax(x, axis) if spmd else x
+
     def pipeline(*cols):
         def sub_env(mapping):
             return [cols[i] for i in mapping]
@@ -319,6 +343,13 @@ def _build_plan(src, outs, where_ast, by_ast):
         mask = None
         if cw is not None:
             mask = jnp.asarray(cw.fn(sub_env(w_map))).astype(bool)
+        if spmd:
+            # mask shard padding rows (global row id >= n_rows)
+            me = jax.lax.axis_index(axis).astype(jnp.int64)
+            gid0 = me * rows_local
+            real = gid0 + jnp.arange(rows_local, dtype=jnp.int64) \
+                < n_rows
+            mask = real if mask is None else (mask & real)
         if key_cs:
             codes = None
             for ck, mp, (_nm, lo, rng, _rt, _dom) in zip(
@@ -327,7 +358,7 @@ def _build_plan(src, outs, where_ast, by_ast):
                 cc = (arr.astype(jnp.int64) - lo).astype(jnp.int32)
                 codes = cc if codes is None else codes * rng + cc
         else:
-            codes = jnp.zeros(n_rows, dtype=jnp.int32)
+            codes = jnp.zeros(rows_local, dtype=jnp.int32)
         if mask is not None:
             codes = jnp.where(mask, codes, NC)
 
@@ -341,7 +372,7 @@ def _build_plan(src, outs, where_ast, by_ast):
                 rtypes[cid] = a.inner.rtype
 
         # ---- matmul tasks: counts + null counts + integer limb sums ----
-        tasks = [("counts", jnp.ones(n_rows, jnp.float32))]
+        tasks = [("counts", jnp.ones(rows_local, jnp.float32))]
         for cid in sorted(need_nullcnt):
             nm = _null_mask(arrs[cid], rtypes[cid])
             tasks.append((f"nullcnt{cid}", nm.astype(jnp.float32)))
@@ -358,8 +389,8 @@ def _build_plan(src, outs, where_ast, by_ast):
                 tasks.append((f"flimb{cid}_{i}", lb))
 
         dense = G.matmul_tasks_scan(codes, [w for _, w in tasks],
-                                    NC + 1, n_rows)
-        mm = {nm: d[:NC] for (nm, _), d in zip(tasks, dense)}
+                                    NC + 1, rows_local)
+        mm = {nm: _psum(d[:NC]) for (nm, _), d in zip(tasks, dense)}
         counts = mm["counts"]                       # f64, exact ints
 
         agg_raw = {}   # lane name -> dense device array (pre-order)
@@ -379,17 +410,25 @@ def _build_plan(src, outs, where_ast, by_ast):
                 maxs.append(_minmax_payload(arrs[cid], rtypes[cid],
                                             False))
                 mx_names.append(f"max{cid}")
-            bc = G.bcast_scan(codes, NC, n_rows, sums=tuple(sums),
+            bc = G.bcast_scan(codes, NC, rows_local, sums=tuple(sums),
                               mins=tuple(mins), maxs=tuple(maxs),
                               want_counts=False, want_fidx=True)
             fidx = bc["fidx"]                # KEY_MAX for empty groups
             lidx = bc["lidx"]
+            if spmd:
+                off = jax.lax.axis_index(axis).astype(jnp.int64) \
+                    * rows_local
+                fidx = _pmin(jnp.where(fidx == G.KEY_MAX,
+                                       jnp.int64(G.KEY_MAX),
+                                       fidx + off))
+                lidx = _pmax(jnp.where(lidx < 0, jnp.int64(-1),
+                                       lidx + off))
             for i, nm in enumerate(s_names):
-                agg_raw[nm] = bc[f"sum{i}"]
+                agg_raw[nm] = _psum(bc[f"sum{i}"])
             for i, nm in enumerate(mn_names):
-                agg_raw[nm] = bc[f"min{i}"]
+                agg_raw[nm] = _pmin(bc[f"min{i}"])
             for i, nm in enumerate(mx_names):
-                agg_raw[nm] = bc[f"max{i}"]
+                agg_raw[nm] = _pmax(bc[f"max{i}"])
         else:
             # ---- ONE stable sort covers order, extrema, f64 sums ----
             payloads, p_specs = [], []
@@ -533,7 +572,22 @@ def _build_plan(src, outs, where_ast, by_ast):
         return bufs
 
     plan = _Plan()
-    plan.fn = jax.jit(pipeline, out_shardings=dev.host_sharding())
+    if spmd:
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.dist import shard_map as _smap
+
+        def traced(*cols):
+            return pipeline(*cols)
+
+        n_in = len(col_objs)
+        smapped = _smap(traced, mesh=m,
+                        in_specs=tuple(P(axis) for _ in range(n_in)),
+                        out_specs=(P(), P(), P()), check_rep=False)
+        plan.fn = jax.jit(smapped)
+        plan.spmd = True
+    else:
+        plan.fn = jax.jit(pipeline, out_shardings=dev.host_sharding())
+        plan.spmd = False
     plan.col_objs = col_objs
     plan.key_meta = key_meta
     plan.aggs = aggs
@@ -858,7 +912,11 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
             return None
         return _decode_wide(plan, ng, lanes)
 
-    cols = [dev.dev_col(c) for c in plan.col_objs]
+    if plan.spmd:
+        m = dev.mesh()
+        cols = [dev.dev_col_sharded(c, m) for c in plan.col_objs]
+    else:
+        cols = [dev.dev_col(c) for c in plan.col_objs]
     bufs = plan.fn(*cols)
     bufs = jax.device_get(bufs)     # ONE batched device->host transfer
     lanes = G.unpack(bufs, plan.lanes_meta["layout"])

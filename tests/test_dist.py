@@ -117,3 +117,53 @@ def test_dist_shuffle_routing(mesh8):
         got = rk[d][valid[d]]
         assert (got % 8 == d).all()
     assert int(valid.sum()) == n
+
+
+def test_spmd_select_parity(mesh8):
+    """End-to-end mesh-mode select (RAYFORCE_MESH): the interpreter's
+    device path runs the fused pipeline under shard_map with ICI
+    combines, matching the host kernels exactly."""
+    import numpy as np
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import device as dev, select as sel
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    old_state = dict(dev._mesh_state)
+    old_thresh = dev._cfg["threshold"]
+    os.environ["RAYFORCE_MESH"] = "8"
+    dev._mesh_state.update({"mesh": None, "checked": False})
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        assert dev.mesh() is not None
+        rng = np.random.default_rng(4)
+        N = 5003   # deliberately not divisible by 8
+        v1 = rng.integers(-3, 6, N).astype(np.int64)
+        v1[rng.integers(0, N, 40)] = T.NULL_I64
+        t = table(vec_sym(["id1", "v1", "v3"]),
+                  [Obj(T.I64, rng.integers(0, 9, N).astype(np.int64)),
+                   Obj(T.I64, v1),
+                   Obj(T.F64, rng.uniform(-50, 100, N))])
+        rt = Runtime()
+        rt.interp.globals[symbols.intern("t")] = t
+        n_spmd0 = sum(1 for p in sel._plan_cache.values()
+                      if p != "unsupported" and getattr(p, "spmd", 0))
+        for q in [
+            "(select {s: (sum v1) c: (count v1) from: t by: id1})",
+            "(select {a: (avg v3) mx: (max v3) mn: (min v1) from: t "
+            "by: id1 where: (> v3 0)})",
+        ]:
+            s_dev = fmt(rt.eval_str(q))
+            dev.set_enabled(False)
+            s_host = fmt(rt.eval_str(q))
+            dev.set_enabled(True)
+            assert s_dev == s_host, q
+        n_spmd = sum(1 for p in sel._plan_cache.values()
+                     if p != "unsupported" and getattr(p, "spmd", 0))
+        assert n_spmd > n_spmd0, "distributed plans were not used"
+    finally:
+        os.environ.pop("RAYFORCE_MESH", None)
+        dev._mesh_state.update(old_state)
+        dev._cfg["threshold"] = old_thresh
