@@ -11,7 +11,7 @@ from . import types as T
 from . import symbols, fmt
 from .obj import (Obj, NULL_OBJ, list_, sym, string, str_of, i64 as mk_i64,
                   date as mk_date, time_ as mk_time, timestamp as mk_ts)
-from .interp import (Interp, Env, FN_ATOMIC, FN_AGGR, FN_SPECIAL,
+from .interp import (Interp, Env, Builtin, FN_ATOMIC, FN_AGGR, FN_SPECIAL,
                      FN_RIGHT_ATOMIC, _Return, collect_lazy)
 from .parser import parse
 from .errors import RayError, err_type, err_value
@@ -279,6 +279,7 @@ def build_env(interp_holder: dict) -> Env:
     R("show", U, misc.ray_show)
     R("meta", U, misc.ray_meta)
     R("system", U, _fn_system)
+    R("loadfn", V, _fn_loadfn)
     R("os-get-var", U, _fn_os_get)
     R("unify", U, compose.ray_unify)
     R("raze", U, compose.ray_raze)
@@ -483,6 +484,44 @@ def _stub_unary(name):
     def f(o):
         raise RayError("nyi", f"{name} not yet implemented")
     return f
+
+
+def _fn_loadfn(args):
+    """(loadfn "plugin.py" 'fname arity): bind a function exported by a
+    plugin as a callable (reference core/dynlib.c:191 binds `obj_p
+    f(obj_p, ...)` from a shared library; here the native-extension ABI
+    is a Python module — which may itself wrap C via ctypes, as
+    storage/native.py does). The function receives `arity` Obj
+    arguments and must return an Obj."""
+    import importlib.util
+    import os as _os
+    if len(args) != 3:
+        raise RayError("arity", "loadfn needs lib, name, arity")
+    path_o, name_o, arity_o = args
+    if name_o.t != -T.SYMBOL:
+        raise err_type("loadfn function name must be a symbol")
+    arity = int(arity_o.v)
+    path = str_of(path_o)
+    fname = symbols.name_of(int(name_o.v))
+    if _os.path.exists(path):
+        spec = importlib.util.spec_from_file_location(
+            "_rf_plugin_" + _os.path.basename(path).replace(".", "_"),
+            path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    else:
+        import importlib
+        mod = importlib.import_module(path)
+    f = getattr(mod, fname, None)
+    if f is None:
+        raise err_value(f"no function {fname} in {path}")
+    tcode = {1: T.UNARY, 2: T.BINARY}.get(arity, T.VARY)
+    if tcode == T.VARY:
+        def wrapped(vargs):
+            return f(*vargs)
+    else:
+        wrapped = f
+    return Obj(tcode, Builtin(fname, tcode, wrapped, 0))
 
 
 def _fn_system(o):
