@@ -175,9 +175,9 @@ def _compile_aggs(src, outs):
             return None
         name, inner = sp
         if name not in ("count", "sum", "avg", "min", "max",
-                        "first", "last"):
+                        "first", "last", "med"):
             return None
-        if name in ("sum", "avg") and inner.rtype not in \
+        if name in ("sum", "avg", "med") and inner.rtype not in \
                 (T.U8, T.I16, T.I32, T.I64, T.F64):
             return None  # host raises err_type; keep that behavior
         if name in ("min", "max") and inner.rtype not in MINMAX_OK:
@@ -245,6 +245,7 @@ def _build_plan(src, outs, where_ast, by_ast):
     need_fsum = set()      # f64 sums via the sort path (no stats)
     need_min = set()
     need_max = set()
+    need_med = set()       # per-column (codes, value) sorts
     def may_null(a):
         """False only for a plain column whose cached stats prove it
         null-free — lets the plan drop the null-count matmul task."""
@@ -297,6 +298,10 @@ def _build_plan(src, outs, where_ast, by_ast):
                         a.inner.cols[0].col)
                 except Exception:
                     pass
+        elif a.name == "med":
+            if may_null(a):
+                need_nullcnt.add(cid)
+            need_med.add(cid)
 
     def limb_meta(cid, rtype):
         lo, hi = need_limbs[cid]
@@ -318,7 +323,7 @@ def _build_plan(src, outs, where_ast, by_ast):
     # per-thread partials + AGGR_COLLECT, core/aggr.c:163-181, lifted
     # onto chips). Large/wide plans (global sorts) stay single-chip.
     m = dev.mesh()
-    spmd = m is not None and small
+    spmd = m is not None and small and not need_med
     if spmd:
         axis = m.axis_names[0]
         n_dev = m.shape[axis]
@@ -470,6 +475,34 @@ def _build_plan(src, outs, where_ast, by_ast):
                     agg_raw[f"max{cid}"] = G.seg_doubling_max(
                         sc, pay)[ea]
 
+        # ---- med: per-column (codes, value) sort + middle gathers ----
+        if need_med:
+            cnt64 = counts.astype(jnp.int64)
+            m_starts = jnp.concatenate(
+                [jnp.zeros(1, jnp.int64), jnp.cumsum(cnt64)[:-1]])
+        for cid in sorted(need_med):
+            arr = arrs[cid]
+            if rtypes[cid] == T.F64:
+                key = jnp.where(jnp.isnan(arr), jnp.float64(np.inf),
+                                arr)          # nulls sort last
+            else:
+                key = arr.astype(jnp.int64)
+                nv = T.NULL_BY_TYPE.get(rtypes[cid])
+                if nv is not None:
+                    key = jnp.where(key == np.int64(nv),
+                                    jnp.int64(G.KEY_MAX), key)
+            _sc2, sval = jax.lax.sort([codes, key], num_keys=2)
+            e = (counts - mm[f"nullcnt{cid}"]
+                 if cid in need_nullcnt else counts).astype(jnp.int64)
+            lo_i = m_starts + jnp.maximum(e - 1, 0) // 2
+            hi_i = m_starts + e // 2
+            lo_i = jnp.clip(lo_i, 0, rows_local - 1).astype(jnp.int32)
+            hi_i = jnp.clip(hi_i, 0, rows_local - 1).astype(jnp.int32)
+            v = (sval[lo_i].astype(jnp.float64)
+                 + sval[hi_i].astype(jnp.float64)) / 2.0
+            agg_raw[f"med{cid}"] = jnp.where(e == 0,
+                                             jnp.float64(np.nan), v)
+
         # ---- device-side finalization: order, decode, narrow ----
         ordi = jnp.argsort(fidx).astype(jnp.int32)
         n_occ = (counts > 0).sum().astype(jnp.int32)
@@ -525,6 +558,8 @@ def _build_plan(src, outs, where_ast, by_ast):
                         v = jnp.where(empty, nv, v)
                         narrow = rt in NARROW
                     P.add(lane, v.astype(jnp.int32) if narrow else v)
+            elif a.name == "med":
+                P.add(lane, agg_raw[f"med{cid}"][ordi])
             elif rt == T.F64:   # f64 sum / avg
                 if cid in need_fixed:
                     flo, fk = need_fixed[cid]
@@ -622,6 +657,8 @@ def _build_plan_wide(src, n_rows, cw, key_cs, key_meta, n_codes, aggs):
     segmented scan + boundary gather. The group count is dynamic, so
     execution is two-phase: fetch the scalar count, then slice-and-pack
     the first n_groups (bucket-rounded) entries of each result lane."""
+    if any(a.name == "med" for a in aggs):
+        return None   # med needs dense starts; host path covers it
     col_objs = []
     slot_of = {}
 
@@ -961,6 +998,9 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
                 out_cols.append(Obj(T.F64, v.astype(np.float64)))
             else:
                 out_cols.append(Obj(rt, v.astype(T.DTYPE[rt])))
+        elif a.name == "med":
+            out_cols.append(Obj(T.F64,
+                                lanes[lane][:k].astype(np.float64)))
         elif rt == T.F64 or a.name == "avg":
             if a.meta.get("limb_fallback"):
                 out_cols.append(self_recombine(a, lanes, k, avg=True))

@@ -68,6 +68,8 @@ QUERIES = [
     "(select {mx: (max v3) mn: (min v1) from: t by: id3})",
     "(select {s: (sum v1) from: t by: {id1: id1 id3: id3}})",
     "(select {s: (sum v1) a: (avg v3) from: t})",
+    "(select {m1: (med v2) m2: (med v3) from: t by: id1})",
+    "(select {m: (med v3) s: (sum v1) from: t by: id3})",
     # joins
     "(inner-join [id3] t r)",
     "(left-join [id3] t r)",
