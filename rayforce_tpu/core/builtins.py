@@ -462,7 +462,26 @@ def build_env(interp_holder: dict) -> Env:
     R("return", V, fn_return)
     R("exit", V, fn_exit)
     R("sysinfo", V, misc.ray_sysinfo)
-    R("internals", V, lambda args: NULL_OBJ)
+    def v_internals(args):
+        """(internals): engine introspection dict — last device query's
+        phase timings (the reference's -t timeit spans, chrono.h:62)."""
+        from ..engine.select import last_profile
+        if not last_profile:
+            return NULL_OBJ
+        ks = list(last_profile.keys())
+        vs = []
+        for k in ks:
+            v = last_profile[k]
+            if isinstance(v, bool):
+                vs.append(Obj(-T.B8, np.int8(1 if v else 0)))
+            elif isinstance(v, float):
+                vs.append(Obj(-T.F64, np.float64(v)))
+            else:
+                vs.append(mk_i64(int(v)))
+        from .obj import dict_, vec_sym
+        return dict_(vec_sym(ks), list_(vs))
+
+    R("internals", V, v_internals)
     R("set-fpr", U, misc.ray_set_fpr)
     return env
 

@@ -45,6 +45,11 @@ from .exprc import compile_expr, split_aggregate
 
 _plan_cache: dict = {}
 
+# last device query's phase timings, readable via the (internals)
+# builtin — the analogue of the reference's -t timeit span recorder
+# (chrono.h:62-81, printed per REPL eval in app/repl.c:76)
+last_profile: dict = {}
+
 INT_LIKE = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
             T.TIMESTAMP, T.SYMBOL)
 # host-parity result types (ops/math.py SUM_TYPE, oracle-pinned)
@@ -949,14 +954,23 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
             return None
         return _decode_wide(plan, ng, lanes)
 
+    import time as _t
+    t0 = _t.perf_counter()
     if plan.spmd:
         m = dev.mesh()
         cols = [dev.dev_col_sharded(c, m) for c in plan.col_objs]
     else:
         cols = [dev.dev_col(c) for c in plan.col_objs]
     bufs = plan.fn(*cols)
+    t1 = _t.perf_counter()
     bufs = jax.device_get(bufs)     # ONE batched device->host transfer
+    t2 = _t.perf_counter()
     lanes = G.unpack(bufs, plan.lanes_meta["layout"])
+    last_profile.clear()
+    last_profile.update({"dispatch_ms": (t1 - t0) * 1000,
+                         "exec+fetch_ms": (t2 - t1) * 1000,
+                         "n_codes": plan.n_codes,
+                         "spmd": plan.spmd})
 
     k = int(lanes["nocc"][0])
     slots = lanes["slots"][:k].astype(np.int64)
