@@ -32,25 +32,56 @@ def main():
     from rayforce_tpu.core.obj import Obj, table, vec_sym
     from rayforce_tpu.core import types as T, symbols
 
+    import jax
+    import jax.numpy as jnp
+    from jax import random as jrandom
+    from rayforce_tpu.core.obj import DevPending
+
     N = 10_000_000
-    rng = np.random.default_rng(7)
-    log(f"building {N}-row table...")
-    id1 = rng.integers(0, 100, N).astype(np.int64)
-    id2 = rng.integers(0, 100, N).astype(np.int64)
-    id3 = rng.integers(0, 100_000, N).astype(np.int64)
-    v1 = rng.integers(1, 6, N).astype(np.int64)
-    v2 = rng.integers(1, 16, N).astype(np.int64)
-    v3 = rng.uniform(0, 100, N)
-    cols = [Obj(T.I64, id1), Obj(T.I64, id2), Obj(T.I64, id3),
-            Obj(T.I64, v1), Obj(T.I64, v2), Obj(T.F64, v3)]
-    tbl = table(vec_sym(["id1", "id2", "id3", "v1", "v2", "v3"]), cols)
+
+    def dev_table(names, specs, n):
+        """Generate benchmark columns ON DEVICE (the relay uploads at
+        an unpredictable 5-50 MB/s; staging 1GB+ from host risks the
+        bench window). Host copies materialize lazily if ever needed."""
+        @jax.jit
+        def gen():
+            key = jrandom.PRNGKey(7)
+            out = []
+            for i, (kind, a, b) in enumerate(specs):
+                k = jrandom.fold_in(key, i)
+                if kind == "int":
+                    out.append(jrandom.randint(
+                        k, (n,), a, b, dtype=jnp.int64))
+                elif kind == "sorted_int":
+                    v = jrandom.randint(k, (n,), a, b,
+                                        dtype=jnp.int64)
+                    out.append(jnp.sort(v))
+                else:
+                    out.append(jrandom.uniform(
+                        k, (n,), dtype=jnp.float64, minval=a,
+                        maxval=b))
+            return out
+        arrs = gen()
+        jax.block_until_ready(arrs)
+        cols = []
+        for (kind, _a, _b), arr in zip(specs, arrs):
+            t = T.F64 if kind == "f64" else T.I64
+            o = Obj(t, DevPending(arr))
+            o.meta = {"dev": arr}
+            cols.append(o)
+        t_ = table(vec_sym(names), cols)
+        dev.put_table(t_)   # batch-computes the column stats
+        return t_
 
     rt = Runtime()
-    rt.interp.globals[symbols.intern("t")] = tbl
-    log("staging columns to device HBM...")
+    log(f"generating {N}-row table on device...")
     t0 = time.perf_counter()
-    dev.put_table(tbl)
-    log(f"staged in {time.perf_counter()-t0:.1f}s; "
+    tbl = dev_table(
+        ["id1", "id2", "id3", "v1", "v2", "v3"],
+        [("int", 0, 100), ("int", 0, 100), ("int", 0, 100_000),
+         ("int", 1, 6), ("int", 1, 16), ("f64", 0.0, 100.0)], N)
+    rt.interp.globals[symbols.intern("t")] = tbl
+    log(f"ready in {time.perf_counter()-t0:.1f}s; "
         f"device={'on' if dev.available() else 'off'}")
 
     queries = [
@@ -93,10 +124,8 @@ def main():
             speedups.append(0.01)
 
     # ---- joins: 10M-row x joined with a 1M-row table on an int key ----
-    import jax
-    from rayforce_tpu.core.obj import DevPending
-
     NR = 1_000_000
+    rng = np.random.default_rng(7)
     rid = rng.permutation(NR * 2)[:NR].astype(np.int64)  # half match
     rv = rng.uniform(0, 100, NR)
     rtbl = table(vec_sym(["id3", "w1"]),
@@ -136,20 +165,15 @@ def main():
 
     # ---- window join: 10M trades x 20M quotes, +/-1000 time window ----
     NT, NQ = 10_000_000, 20_000_000
-    syms_t = rng.integers(0, 18_000, NT).astype(np.int64)
-    ts_t = np.sort(rng.integers(0, 2_000_000_000, NT)).astype(np.int64)
-    syms_q = rng.integers(0, 18_000, NQ).astype(np.int64)
-    ts_q = np.sort(rng.integers(0, 2_000_000_000, NQ)).astype(np.int64)
-    px_q = rng.uniform(10, 200, NQ)
-    trades = table(vec_sym(["sym", "ts"]),
-                   [Obj(T.I64, syms_t), Obj(T.I64, ts_t)])
-    quotes = table(vec_sym(["sym", "ts", "p"]),
-                   [Obj(T.I64, syms_q), Obj(T.I64, ts_q),
-                    Obj(T.F64, px_q)])
+    trades = dev_table(["sym", "ts"],
+                       [("int", 0, 18_000),
+                        ("sorted_int", 0, 2_000_000_000)], NT)
+    quotes = dev_table(["sym", "ts", "p"],
+                       [("int", 0, 18_000),
+                        ("sorted_int", 0, 2_000_000_000),
+                        ("f64", 10.0, 200.0)], NQ)
     rt.interp.globals[symbols.intern("trades")] = trades
     rt.interp.globals[symbols.intern("quotes")] = quotes
-    dev.put_table(trades)
-    dev.put_table(quotes)
     run_join("wj",
              "(window-join1 [sym ts] (map-left + [-1000 1000] "
              "(at trades 'ts)) trades quotes "
