@@ -22,9 +22,10 @@ no scatters, no 64-bit bitcasts, ever):
   the host; first/last values are host-side gathers at fetched row ids.
 
 Aggregate null semantics are oracle-pinned (tools/oracle.py against the
-reference binary): sum/avg SKIP nulls (empty int sum = 0, f64 = 0.0),
-min/max skip nulls (all-null group -> typed null), count counts all
-rows. Group order is first-appearance (core/index.c group-id
+reference binary): GROUPED sum PROPAGATES nulls (ADD accumulators) while
+a no-by select sums whole-vector and SKIPS them; avg skips; min/max skip
+nulls with all-null groups yielding the typed INF sentinel (min) or the
+typed null (max); count counts all rows. Group order is first-appearance (core/index.c group-id
 assignment). Plans are cached by a structural fingerprint of the query
 AST and its column identities.
 """
@@ -321,6 +322,9 @@ def _build_plan(src, outs, where_ast, by_ast):
 
     NC = n_codes
     lanes_meta = {}
+    grouped = bool(by_pairs)   # grouped sum PROPAGATES nulls
+    #                            (aggr.c ADD accumulators); a no-by
+    #                            select sums whole-vector = SKIPS
 
     # SPMD: small dense plans distribute over the global mesh — each
     # shard runs the same bcast+matmul pipeline on its rows; dense
@@ -543,13 +547,16 @@ def _build_plan(src, outs, where_ast, by_ast):
             elif a.name == "last":
                 P.add(lane, lidx[ordi].astype(jnp.int32))
             elif a.name in ("min", "max"):
+                # all-null groups: min keeps the typed INF init, max
+                # yields typed NULL (aggr.c:1158-1256, oracle-pinned)
                 v = agg_raw[f"{a.name}{cid}"][ordi]
                 nullable = cid in need_nullcnt
                 if nullable:
                     empty = mm[f"nullcnt{cid}"][ordi] == counts_o
                 if rt == T.F64:
-                    if nullable:
+                    if nullable and a.name == "max":
                         v = jnp.where(empty, jnp.float64(np.nan), v)
+                    # min: nulls were mapped +inf; all-null stays +inf
                     P.add(lane, v)
                 else:
                     narrow = rt in NARROW
@@ -558,9 +565,13 @@ def _build_plan(src, outs, where_ast, by_ast):
                         vlo, vhi = a.meta["vrange"]
                         narrow = -(1 << 31) <= vlo and vhi < (1 << 31)
                     if nullable:
-                        nv = np.int64(T.NULL_BY_TYPE.get(
-                            rt, T.NULL_I64))
-                        v = jnp.where(empty, nv, v)
+                        if a.name == "max":
+                            fillv = np.int64(T.NULL_BY_TYPE.get(
+                                rt, T.NULL_I64))
+                        else:   # typed INF sentinel (iinfo max)
+                            fillv = np.int64(np.iinfo(
+                                T.DTYPE[rt]).max)
+                        v = jnp.where(empty, fillv, v)
                         narrow = rt in NARROW
                     P.add(lane, v.astype(jnp.int32) if narrow else v)
             elif a.name == "med":
@@ -579,6 +590,10 @@ def _build_plan(src, outs, where_ast, by_ast):
                 if a.name == "avg":
                     e = eff(cid)
                     s = jnp.where(e == 0, jnp.float64(np.nan), s / e)
+                elif grouped and cid in need_nullcnt:
+                    # grouped sum propagates nulls (oracle-pinned)
+                    s = jnp.where(mm[f"nullcnt{cid}"][ordi] > 0,
+                                  jnp.float64(np.nan), s)
                 P.add(lane, s)
             else:               # integer sum / avg
                 n_limbs, bias, bound = limb_meta(cid, rt)
@@ -594,8 +609,16 @@ def _build_plan(src, outs, where_ast, by_ast):
                             e == 0, jnp.float64(np.nan), tot / e))
                     else:
                         v = tot.astype(jnp.int64)
-                        P.add(lane, v.astype(jnp.int32)
-                              if bound < (1 << 31) else v)
+                        if grouped and cid in need_nullcnt:
+                            ot = SUM_OUT.get(rt, T.I64)
+                            nv = np.int64(T.NULL_BY_TYPE.get(
+                                ot, T.NULL_I64))
+                            v = jnp.where(
+                                mm[f"nullcnt{cid}"][ordi] > 0, nv, v)
+                            P.add(lane, v)
+                        else:
+                            P.add(lane, v.astype(jnp.int32)
+                                  if bound < (1 << 31) else v)
                 else:
                     # full-width fallback: host recombines exactly
                     for i in range(n_limbs):
@@ -804,16 +827,23 @@ def _build_plan_wide(src, n_rows, cw, key_cs, key_meta, n_codes, aggs):
             elif a.name == "last":
                 lanes[lane] = lanes["lidx"]
             elif a.name in ("min", "max"):
+                # all-null: min keeps the typed INF init, max -> NULL
                 v = seg[(a.name, cid)]
                 if cid in need_nullcnt:
                     empty = seg[("nullcnt", cid)] >= \
                         counts_g.astype(jnp.float64)
                     if rt == T.F64:
-                        v = jnp.where(empty, jnp.float64(np.nan), v)
-                    else:
+                        if a.name == "max":
+                            v = jnp.where(empty, jnp.float64(np.nan),
+                                          v)
+                    elif a.name == "max":
                         nv = np.int64(T.NULL_BY_TYPE.get(
                             rt, T.NULL_I64))
                         v = jnp.where(empty, nv, v)
+                    else:
+                        v = jnp.where(
+                            empty,
+                            np.int64(np.iinfo(T.DTYPE[rt]).max), v)
                 lanes[lane] = v
             else:  # sum / avg
                 s = seg[("sum", cid)]
@@ -823,6 +853,17 @@ def _build_plan_wide(src, n_rows, cw, key_cs, key_meta, n_codes, aggs):
                         e = e - seg[("nullcnt", cid)]
                     s = jnp.where(e == 0, jnp.float64(np.nan),
                                   s.astype(jnp.float64) / e)
+                elif cid in need_nullcnt:
+                    # grouped sum propagates nulls (oracle-pinned)
+                    anyn = seg[("nullcnt", cid)] > 0
+                    if rt == T.F64:
+                        s = jnp.where(anyn, jnp.float64(np.nan), s)
+                    else:
+                        ot = SUM_OUT.get(rt, T.I64)
+                        s = jnp.where(anyn, np.int64(T.NULL_BY_TYPE
+                                                     .get(ot,
+                                                          T.NULL_I64)),
+                                      s)
                 lanes[lane] = s
         lanes_meta["names"] = sorted(lanes.keys())
         return tuple(lanes[nm] for nm in lanes_meta["names"])
@@ -1017,13 +1058,15 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
                                 lanes[lane][:k].astype(np.float64)))
         elif rt == T.F64 or a.name == "avg":
             if a.meta.get("limb_fallback"):
-                out_cols.append(self_recombine(a, lanes, k, avg=True))
+                out_cols.append(self_recombine(a, lanes, k, avg=True,
+                    grouped=bool(plan.key_meta)))
             else:
                 out_cols.append(Obj(T.F64,
                                     lanes[lane][:k].astype(np.float64)))
         else:  # integer sum
             if a.meta.get("limb_fallback"):
-                out_cols.append(self_recombine(a, lanes, k, avg=False))
+                out_cols.append(self_recombine(a, lanes, k, avg=False,
+                    grouped=bool(plan.key_meta)))
             else:
                 ot = SUM_OUT.get(rt, T.I64)
                 out_cols.append(Obj(ot,
@@ -1033,7 +1076,8 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
                  out_cols)
 
 
-def self_recombine(a: _Agg, lanes, k, avg: bool) -> Obj:
+def self_recombine(a: _Agg, lanes, k, avg: bool,
+                   grouped: bool = True) -> Obj:
     """Host-exact recombination for full-width integer sums whose
     bound exceeds 2^53 (rare: full-range i64 columns)."""
     cid = a.meta["cid"]
@@ -1052,4 +1096,7 @@ def self_recombine(a: _Agg, lanes, k, avg: bool) -> Obj:
     wrapped = ((tot.astype(object) + (1 << 63)) % (1 << 64)) - (1 << 63)
     vals = np.array([int(x) for x in wrapped], dtype=np.int64)
     ot = SUM_OUT.get(a.inner.rtype, T.I64)
+    if grouped:   # grouped sum propagates nulls (oracle-pinned)
+        nv = T.NULL_BY_TYPE.get(ot, T.NULL_I64)
+        vals = np.where(nullc > 0, np.int64(nv), vals)
     return Obj(ot, vals.astype(T.DTYPE[ot]))

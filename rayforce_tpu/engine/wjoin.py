@@ -293,13 +293,20 @@ def _k_sum_avg(sv, li, ri, ok, rtype, want_avg):
     vz = jnp.where(nn, 0, sv).astype(jnp.float64)
     cs = jnp.concatenate([jnp.zeros(1, jnp.float64), jnp.cumsum(vz)])
     s = cs[ri + 1] - cs[li]
-    if not want_avg:
-        if rtype == T.F64:
-            return jnp.where(ok, s, 0.0)
-        return jnp.where(ok, s.astype(jnp.int64), 0)
     cn = jnp.concatenate([jnp.zeros(1, jnp.float64),
-                          jnp.cumsum((~nn).astype(jnp.float64))])
-    c = cn[ri + 1] - cn[li]
+                          jnp.cumsum(nn.astype(jnp.float64))])
+    n_null = cn[ri + 1] - cn[li]
+    if not want_avg:
+        # window sum PROPAGATES nulls (ADD accumulators, aggr.c;
+        # oracle-pinned: any null in the window -> typed null)
+        if rtype == T.F64:
+            s = jnp.where(n_null > 0, jnp.float64(np.nan), s)
+            return jnp.where(ok, s, 0.0)
+        nv = np.int64(T.NULL_BY_TYPE.get(SUM_TYPE.get(rtype, T.I64),
+                                         T.NULL_I64))
+        si = jnp.where(n_null > 0, nv, s.astype(jnp.int64))
+        return jnp.where(ok, si, 0)
+    c = (ri + 1 - li).astype(jnp.float64) - n_null
     a = jnp.where(c > 0, s / c, jnp.float64(np.nan))
     return jnp.where(ok & (c > 0), a, jnp.float64(np.nan))
 

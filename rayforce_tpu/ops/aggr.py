@@ -66,13 +66,22 @@ def grouped_aggregate(name: str, col: Obj, index) -> Obj:
         if t not in SUM_TYPE:
             raise err_type("sum on non-numeric")
         rt = SUM_TYPE[t]
+        # GROUPED sum PROPAGATES nulls (ADD-based accumulation,
+        # aggr.c:1084-1099 + ops.h ADD*; oracle-pinned: group with any
+        # null -> typed null, while whole-vector sum SKIPS)
+        anynull = np.zeros(n, dtype=bool)
+        if nulls.any():
+            np.logical_or.at(anynull, gids, nulls)
         if t == T.F64:
             vals = np.where(nulls, 0.0, a)
             out = np.bincount(gids, weights=vals, minlength=n)
+            out = np.where(anynull, T.NULL_F64, out)
             return Obj(T.F64, out)
         vals = np.where(nulls, 0, a).astype(np.int64)
         out = np.zeros(n, dtype=np.int64)
         np.add.at(out, gids, vals)
+        nullv = T.NULL_BY_TYPE.get(rt, T.NULL_I64)
+        out = np.where(anynull, np.int64(nullv), out)
         return Obj(rt, out.astype(T.DTYPE[rt]))
 
     if name == "avg":
@@ -88,15 +97,21 @@ def grouped_aggregate(name: str, col: Obj, index) -> Obj:
         return Obj(T.F64, out)
 
     if name in ("min", "max"):
+        # nulls lose to any value; an ALL-null group keeps the init:
+        # min -> typed INF (min partials init to INF), max -> typed
+        # NULL (aggr.c:1158-1256; oracle-pinned: min [0N..] group =
+        # max-int / +inf, max [0N..] group = 0N)
         rt = t
         if t == T.F64:
             init = np.inf if name == "min" else -np.inf
             vals = np.where(nulls, init, a)
             out = np.full(n, init, dtype=np.float64)
             (np.minimum if name == "min" else np.maximum).at(out, gids, vals)
-            cnt = np.bincount(gids, weights=(~nulls).astype(np.float64),
-                              minlength=n)
-            out = np.where(cnt == 0, T.NULL_F64, out)
+            if name == "max":
+                cnt = np.bincount(gids,
+                                  weights=(~nulls).astype(np.float64),
+                                  minlength=n)
+                out = np.where(cnt == 0, T.NULL_F64, out)
             return Obj(T.F64, out)
         info_dt = T.DTYPE[t if t not in (T.DATE, T.TIME, T.TIMESTAMP)
                           else {T.DATE: T.I32, T.TIME: T.I32,
@@ -106,10 +121,12 @@ def grouped_aggregate(name: str, col: Obj, index) -> Obj:
         vals = np.where(nulls, init, a.astype(np.int64))
         out = np.full(n, init, dtype=np.int64)
         (np.minimum if name == "min" else np.maximum).at(out, gids, vals)
-        cnt = np.bincount(gids, weights=(~nulls).astype(np.float64),
-                          minlength=n)
-        nullv = T.NULL_BY_TYPE.get(t, T.NULL_I64)
-        out = np.where(cnt == 0, np.int64(nullv), out)
+        if name == "max":
+            cnt = np.bincount(gids,
+                              weights=(~nulls).astype(np.float64),
+                              minlength=n)
+            nullv = T.NULL_BY_TYPE.get(t, T.NULL_I64)
+            out = np.where(cnt == 0, np.int64(nullv), out)
         return Obj(rt, out.astype(T.DTYPE[rt]))
 
     if name in ("med", "dev"):
@@ -204,8 +221,16 @@ def window_aggregate(name: str, col: Obj, w: WindowIndex) -> Obj:
         vals = np.where(nulls, 0, a).astype(
             np.float64 if t == T.F64 else np.int64)
         csum = np.concatenate([[0], np.cumsum(vals)])
+        cnul = np.concatenate([[0], np.cumsum(nulls.astype(np.int64))])
         out = np.where(ok, csum[np.clip(ri, -1, None) + 1]
                        - csum[np.clip(li, 0, None)], 0)
+        # window sum PROPAGATES nulls (ADD accumulators; oracle-pinned)
+        n_null = cnul[np.clip(ri, -1, None) + 1] \
+            - cnul[np.clip(li, 0, None)]
+        nullv = T.NULL_BY_TYPE.get(rt, T.NULL_I64)
+        out = np.where(ok & (n_null > 0),
+                       np.float64(T.NULL_F64) if t == T.F64
+                       else np.int64(nullv), out)
         return Obj(rt, out.astype(T.DTYPE[rt]))
     if name == "avg":
         vals = np.where(nulls, 0.0, a.astype(np.float64))
