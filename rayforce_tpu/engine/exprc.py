@@ -158,6 +158,19 @@ class _Compiler:
             vd = jnp.asarray(vals)
             return (lambda env, f=a[0], v=vd:
                     jnp.isin(f(env).astype(jnp.int64), v)), T.B8
+        if name == "within" and len(args) == 2 and args[1].t > 0 \
+                and args[1].t != T.LIST and len(args[1]) == 2:
+            a = self.compile(args[0])
+            if a is None:
+                return None
+            rng = to_np(args[1])
+            lo, hi = rng[0], rng[1]
+            if args[1].t == T.F64:
+                return (lambda env, f=a[0], lo=lo, hi=hi:
+                        (f(env) >= lo) & (f(env) <= hi)), T.B8
+            lo_i, hi_i = int(lo), int(hi)
+            return (lambda env, f=a[0], lo=lo_i, hi=hi_i:
+                    (f(env) >= lo) & (f(env) <= hi)), T.B8
         return None
 
     def _arith(self, op, a, b):
