@@ -33,9 +33,7 @@ jax.config.update("jax_enable_x64", True)
 try:
     _cache_dir = os.environ.get(
         "RAYFORCE_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))),
-            ".jax_cache"))
+        os.path.expanduser("~/.cache/rayforce_jax"))
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
