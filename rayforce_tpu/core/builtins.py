@@ -196,6 +196,9 @@ def build_env(interp_holder: dict) -> Env:
     def v_scan_right(args):
         return it.ray_scan_right(interp(), args[0], list(args[1:]))
 
+    def v_scan_left(args):
+        return it.ray_scan_left(interp(), args[0], list(args[1:]))
+
     def v_apply(args):
         return it.ray_apply(interp(), args[0], list(args[1:]))
 
@@ -350,7 +353,7 @@ def build_env(interp_holder: dict) -> Env:
     R("fold-left", V, v_fold)
     R("fold-right", V, v_fold_right)
     R("scan", V, v_scan)
-    R("scan-left", V, v_scan)
+    R("scan-left", V, v_scan_left)
     R("scan-right", V, v_scan_right)
     from ..ops import update as upd
     R("insert", V, lambda args: upd.ray_insert(interp(), args))

@@ -249,9 +249,16 @@ def ray_within(x: Obj, rng: Obj) -> Obj:
 
 
 def ray_sect(a: Obj, b: Obj) -> Obj:
-    """Set intersection, keeps a's order, distinct."""
-    from .compose import ray_distinct
-    a = ray_distinct(a) if a.t >= 0 else a
+    """Set intersection, keeps a's ORDER (first appearance — unlike
+    `distinct`, whose integer path is ascending; oracle-pinned
+    (sect [3 1 2] [2 3 9]) -> [3 2])."""
+    if a.t >= 0 and a.t != T.LIST:
+        arr = to_np(a)
+        if a.t == T.GUID:
+            _, idx = np.unique(arr, axis=0, return_index=True)
+        else:
+            _, idx = np.unique(arr, return_index=True)
+        a = Obj(a.t, arr[np.sort(idx)], domain=a.domain)
     mask = ray_in(a, b)
     if mask.t < 0:
         return a if int(mask.v) else take_n(a, 0)

@@ -171,30 +171,50 @@ def ray_scan(interp, f: Obj, seqs: list) -> Obj:
             acc = _call(interp, f, [acc, at_idx(y, i)])
             out.append(acc)
         return list_(out)
-    return _call(interp, f, [x, y])
+    # non-list args: one application, wrapped as the single
+    # intermediate state (oracle: (scan - 100 [1 2 3]) -> ([99 98 97]))
+    return list_([_call(interp, f, [x, y])])
+
+
+def ray_scan_left(interp, f: Obj, seqs: list) -> Obj:
+    """States [args1, f(args0, args1), f(prev, args2), ...]
+    (oracle: (scan-left - 100 [1 2 3]) -> ([1 2 3] [99 98 97]))."""
+    if len(seqs) < 2:
+        raise err_arity("scan-left")
+    out = [seqs[1]]
+    acc = _call(interp, f, [seqs[0], seqs[1]])
+    out.append(acc)
+    for s in seqs[2:]:
+        acc = _call(interp, f, [acc, s])
+        out.append(acc)
+    return list_(out)
 
 
 def ray_fold_right(interp, f: Obj, seqs: list) -> Obj:
+    """acc = init; per element LEFT-to-right acc = f(elem, acc)
+    (oracle: (fold-right - 0 [1 2 3 4]) -> 2 — NOT right-assoc)."""
     if len(seqs) < 2:
         raise err_arity("fold-right")
     x, y = seqs[0], seqs[1]
-    if y.t == T.LIST:
+    if y.t == T.LIST or (y.t > 0 and y.t != T.DICT):
         acc = x
-        for i in range(len(y) - 1, -1, -1):
+        for i in range(len(y)):
             acc = _call(interp, f, [at_idx(y, i), acc])
         return acc
     return _call(interp, f, [x, y])
 
 
 def ray_scan_right(interp, f: Obj, seqs: list) -> Obj:
+    """fold-right states INCLUDING the initial accumulator
+    (oracle: (scan-right - 0 [1 2 3]) -> (0 1 1 2))."""
     if len(seqs) < 2:
         raise err_arity("scan-right")
     x, y = seqs[0], seqs[1]
-    out = []
-    if y.t == T.LIST:
+    if y.t == T.LIST or (y.t > 0 and y.t != T.DICT):
+        out = [x]
         acc = x
-        for i in range(len(y) - 1, -1, -1):
+        for i in range(len(y)):
             acc = _call(interp, f, [at_idx(y, i), acc])
             out.append(acc)
-        return unify_list(list(reversed(out)))
-    return _call(interp, f, [x, y])
+        return list_(out)
+    return list_([_call(interp, f, [x, y])])
