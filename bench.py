@@ -3,30 +3,68 @@
 engine.
 
 Group-by mirrors the reference's headline benchmark (docs group-by.md,
-H2OAI G1_1e7_1e2 dataset shape): 10M rows, id1/id2 card 100, id3 card
-100k, v1 in 1..5, v3 uniform f64. Joins approximate the db-benchmark
-join task shapes (10M-row x joined with a medium table on an int key);
-baselines from BASELINE.md (inner Q2 = 1610 ms, left Q1 = 3149 ms).
-Join timing forces every output column to materialize ON DEVICE (HBM)
-— the equivalent of the reference materializing merged columns in RAM.
+H2OAI G1_1e7_1e2 dataset shape): 10M rows; id1/id2 card 100, id3 card
+100k (the reference's string ids are enum codes on device — integer
+grouping, identical work), id4/id5 card 100, id6 card 100k, v1 in 1..5,
+v2 in 1..15, v3 uniform f64. q7 groups by all six keys (~10M groups).
+Joins approximate the db-benchmark join task shapes; baselines from
+BASELINE.md.
 
-Prints ONE JSON line: the geometric-mean speedup over the reference
-baselines for the headline workloads (q1-q6 + inner/left join).
-Detailed per-query numbers go to stderr.
+Timing counts full engine execution: every query's device dispatch is
+synchronous through the scalar (group-count) fetch, and result columns
+are materialized IN HBM — the TPU-native equivalent of the reference
+materializing result columns in RAM. (Shipping a 10M-row q7 result
+through the ~27 MB/s relay tunnel would measure the harness link, not
+the engine, so columns are not copied to the host.)
+
+Usage: bench.py [--record] — with --record, appends min/avg/max per
+query + commit id to bench/results.json and prints a diff vs the
+previous recorded run (the reference's bench harness behavior,
+bench/main.c:152-257, 366-415).
+
+Prints ONE JSON line: geometric-mean speedup over the reference
+baselines. Per-query details go to stderr.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench", "results.json")
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _force_device(res):
+    """Block until result columns are materialized in HBM (no host
+    copy; DevPendingSliced lanes are outputs of the already-executed
+    dispatch)."""
+    import jax
+    if res is None or res.t != 98:   # TABLE
+        return
+    _, cols_ = res.v
+    bufs = []
+    for c in cols_:
+        p = c.pending() if hasattr(c, "pending") else None
+        if p is not None:
+            full = getattr(p, "_full", None)
+            bufs.append(full if full is not None else p.arr)
+    if bufs:
+        # all lanes come from the one query executable, whose
+        # completion the engine already synced on (the group-count
+        # scalar fetch); confirm with ONE buffer instead of paying a
+        # relay ready-round-trip per lane
+        jax.block_until_ready(bufs[0])
+
+
 def main():
+    record = "--record" in sys.argv
     from rayforce_tpu import Runtime
     from rayforce_tpu.engine import device as dev
     from rayforce_tpu.core.obj import Obj, table, vec_sym
@@ -57,9 +95,10 @@ def main():
                                         dtype=jnp.int64)
                     out.append(jnp.sort(v))
                 else:
-                    out.append(jrandom.uniform(
-                        k, (n,), dtype=jnp.float64, minval=a,
-                        maxval=b))
+                    v = jrandom.uniform(k, (n,), dtype=jnp.float64,
+                                        minval=a, maxval=b)
+                    # v3 is round(uniform(0,100), 6) in db-benchmark
+                    out.append(jnp.round(v * 1e6) / 1e6)
             return out
         arrs = gen()
         jax.block_until_ready(arrs)
@@ -74,46 +113,52 @@ def main():
         return t_
 
     rt = Runtime()
-    log(f"generating {N}-row table on device...")
+    log(f"generating {N}-row G1 table on device...")
     t0 = time.perf_counter()
     tbl = dev_table(
-        ["id1", "id2", "id3", "v1", "v2", "v3"],
+        ["id1", "id2", "id3", "id4", "id5", "id6",
+         "v1", "v2", "v3"],
         [("int", 0, 100), ("int", 0, 100), ("int", 0, 100_000),
+         ("int", 0, 100), ("int", 0, 100), ("int", 0, 100_000),
          ("int", 1, 6), ("int", 1, 16), ("f64", 0.0, 100.0)], N)
     rt.interp.globals[symbols.intern("t")] = tbl
     log(f"ready in {time.perf_counter()-t0:.1f}s; "
         f"device={'on' if dev.available() else 'off'}")
 
     queries = [
-        ("q1", "(select {s: (sum v1) from: t by: id1})", 60.0),
-        ("q2", "(select {s: (sum v1) from: t by: {id1: id1 id2: id2}})",
-         74.0),
+        ("q1", "(select {s: (sum v1) from: t by: id1})", 60.0, 5),
+        ("q2", "(select {s: (sum v1) from: t by: "
+         "{id1: id1 id2: id2}})", 74.0, 5),
         ("q3", "(select {s: (sum v1) a: (avg v3) from: t by: id3})",
-         118.0),
-        ("q4", "(select {a1: (avg v1) a2: (avg v2) a3: (avg v3) from: t "
-         "by: id1})", 72.0),
-        ("q5", "(select {s1: (sum v1) s2: (sum v2) s3: (sum v3) from: t "
-         "by: id2})", 122.0),
+         118.0, 5),
+        ("q4", "(select {a1: (avg v1) a2: (avg v2) a3: (avg v3) "
+         "from: t by: id4})", 72.0, 5),
+        ("q5", "(select {s1: (sum v1) s2: (sum v2) s3: (sum v3) "
+         "from: t by: id6})", 122.0, 5),
         ("q6", "(select {mx: (max v1) mn: (min v2) from: t by: id3})",
-         104.0),
+         104.0, 5),
+        ("q7", "(select {s: (sum v3) c: (count v3) from: t by: "
+         "{id1: id1 id2: id2 id3: id3 id4: id4 id5: id5 id6: id6}})",
+         1394.0, 3),
     ]
-    # q7 (high-cardinality 6-key, ~10M groups) reported in detail only:
-    # its runtime here is dominated by shipping the ~10M-row result
-    # through the ~30 MB/s relay tunnel, which measures the harness
-    # link rather than the engine.
-    q7 = ("q7", "(select {s: (sum v3) c: (count v3) from: t by: "
-          "{id1: id1 id2: id2 id3: id3 v1: v1 v2: v2}})", 1394.0)
 
     speedups = []
     results = {}
-    for name, q, baseline_ms in queries:
+    stats = {}
+    for name, q, baseline_ms, iters in queries:
         try:
-            rt.eval_str(q)  # compile/plan
-            best = 1e18
-            for _ in range(5):
+            r = rt.eval_str(q)          # compile/plan warmup
+            _force_device(r)
+            times = []
+            for _ in range(iters):
                 t0 = time.perf_counter()
                 r = rt.eval_str(q)
-                best = min(best, (time.perf_counter() - t0) * 1000)
+                _force_device(r)
+                times.append((time.perf_counter() - t0) * 1000)
+            best = min(times)
+            stats[name] = {"min": round(best, 1),
+                           "avg": round(sum(times) / len(times), 1),
+                           "max": round(max(times), 1)}
             results[name] = best
             speedups.append(baseline_ms / best)
             log(f"{name}: {best:.1f} ms (baseline {baseline_ms} ms, "
@@ -133,7 +178,7 @@ def main():
     rt.interp.globals[symbols.intern("r")] = rtbl
     dev.put_table(rtbl)
 
-    def run_join(name, q, baseline_ms):
+    def run_join(name, q, baseline_ms, iters=3):
         try:
             def once():
                 t0 = time.perf_counter()
@@ -144,13 +189,19 @@ def main():
                     p = c.pending() if hasattr(c, "pending") else None
                     if p is not None:
                         devarrs.append(p.arr)   # force the gather
-                jax.block_until_ready(devarrs)
+                import jax as _j
+                _j.block_until_ready(devarrs)
                 return (time.perf_counter() - t0) * 1000, res
             once()
-            best = 1e18
-            for _ in range(3):
+            times = []
+            res = None
+            for _ in range(iters):
                 ms, res = once()
-                best = min(best, ms)
+                times.append(ms)
+            best = min(times)
+            stats[name] = {"min": round(best, 1),
+                           "avg": round(sum(times) / len(times), 1),
+                           "max": round(max(times), 1)}
             results[name] = best
             speedups.append(baseline_ms / best)
             log(f"{name}: {best:.1f} ms (baseline {baseline_ms} ms, "
@@ -177,27 +228,43 @@ def main():
     run_join("wj",
              "(window-join1 [sym ts] (map-left + [-1000 1000] "
              "(at trades 'ts)) trades quotes "
-             "{mx: (max p) mn: (min p)})", 59145.6)
+             "{mx: (max p) mn: (min p)})", 59145.6, 2)
 
     geo = float(np.exp(np.mean(np.log(np.maximum(speedups, 1e-9)))))
-    # q7 is correct on-device (wide engine) but its wall time here is
-    # dominated by shipping the ~10M-row result through the ~30 MB/s
-    # relay tunnel (measures the harness link, not the engine) and its
-    # 20-50 s would risk the driver's bench window — opt-in only.
-    if os.environ.get("RAYFORCE_BENCH_Q7"):
+
+    if record:
         try:
-            name, q, baseline_ms = q7
-            rt.eval_str(q)
-            t0 = time.perf_counter()
-            r = rt.eval_str(q)
-            ms = (time.perf_counter() - t0) * 1000
-            results[name] = ms
-            log(f"{name}: {ms:.1f} ms (baseline {baseline_ms} ms, "
-                f"{baseline_ms/ms:.2f}x) rows={len(r)} [detail-only]")
-        except Exception as e:
-            log(f"q7: FAILED {e}")
-            results["q7"] = None
-    q1 = results.get("q1") or 0.0
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(RESULTS_PATH)).stdout.strip()
+        except Exception:
+            commit = "unknown"
+        entry = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                 "commit": commit, "geomean": round(geo, 3),
+                 "queries": stats}
+        os.makedirs(os.path.dirname(RESULTS_PATH), exist_ok=True)
+        hist = []
+        if os.path.exists(RESULTS_PATH):
+            with open(RESULTS_PATH) as f:
+                hist = json.load(f)
+        if hist:
+            prev = hist[-1]
+            log(f"--- diff vs previous run ({prev['commit']}, "
+                f"{prev['ts']}) ---")
+            for k, st in stats.items():
+                p = prev.get("queries", {}).get(k)
+                if p:
+                    d = st["min"] - p["min"]
+                    pct = 100.0 * d / p["min"] if p["min"] else 0.0
+                    flag = "  REGRESSION" if pct > 10 else ""
+                    log(f"  {k}: {p['min']} -> {st['min']} ms "
+                        f"({pct:+.1f}%){flag}")
+        hist.append(entry)
+        with open(RESULTS_PATH, "w") as f:
+            json.dump(hist, f, indent=1)
+        log(f"recorded to {RESULTS_PATH}")
+
     print(json.dumps({
         "metric": "suite_geomean_speedup_vs_reference",
         "value": round(geo, 3),

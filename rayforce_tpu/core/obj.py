@@ -54,6 +54,23 @@ class DevPending:
         return np.asarray(self.arr)
 
 
+class DevPendingSliced(DevPending):
+    """A device lane with capacity rows beyond its logical length
+    (group-by outputs are computed into static NCAP-sized buffers; the
+    real group count ng is dynamic). Host materialization slices the
+    already-computed full lane with numpy — NO extra device ops — and
+    device consumers get a lazily-dispatched device slice."""
+
+    __slots__ = ("_full",)
+
+    def __init__(self, full, n: int):
+        super().__init__(thunk=lambda: full[:n], shape=(n,))
+        self._full = full
+
+    def materialize(self) -> np.ndarray:
+        return np.asarray(self._full)[: self.shape[0]]
+
+
 class DevPendingList(DevPending):
     """Right-only join column with unmatched rows: the device holds
     (gathered values, has_match); host materialization boxes them into

@@ -20,7 +20,8 @@ from ..core import symbols
 from ..core.obj import Obj, to_np, col_by_name, enum_domain
 from ..core.interp import Builtin
 
-AGG_NAMES = {"sum", "avg", "min", "max", "count", "first", "last"}
+AGG_NAMES = {"sum", "avg", "min", "max", "count", "first", "last",
+             "med", "dev"}
 
 ARITH = {"+": "add", "-": "sub", "*": "mul", "/": "idiv", "div": "fdiv",
          "%": "mod", "xbar": "xbar"}

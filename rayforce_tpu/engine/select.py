@@ -181,10 +181,10 @@ def _compile_aggs(src, outs):
             return None
         name, inner = sp
         if name not in ("count", "sum", "avg", "min", "max",
-                        "first", "last", "med"):
+                        "first", "last", "med", "dev"):
             return None
-        if name in ("sum", "avg", "med") and inner.rtype not in \
-                (T.U8, T.I16, T.I32, T.I64, T.F64):
+        if name in ("sum", "avg", "med", "dev") and inner.rtype not \
+                in (T.U8, T.I16, T.I32, T.I64, T.F64):
             return None  # host raises err_type; keep that behavior
         if name in ("min", "max") and inner.rtype not in MINMAX_OK:
             return None
@@ -219,12 +219,20 @@ def _build_plan(src, outs, where_ast, by_ast):
         return None
 
     if n_codes > dev._cfg["dense_max"]:
-        if n_codes <= (1 << 62):
-            return _build_plan_wide(src, n_rows, cw, key_cs, key_meta,
-                                    n_codes, aggs)
-        return None
+        from . import wide
+        return wide.build_plan(src, n_rows, cw, key_cs, key_meta,
+                               aggs)
 
     small = n_codes <= G.SMALL_N
+    has_dev = any(a.name == "dev" for a in aggs)
+    if by_pairs and (not small or has_dev):
+        # mid-cardinality (or dev-needing) grouped select: the
+        # sort+compaction engine (engine/sortagg.py)
+        from . import sortagg
+        return sortagg.build_plan(src, n_rows, cw, key_cs, key_meta,
+                                  n_codes, aggs)
+    if has_dev:
+        return None   # no-by dev: host path
 
     # --- shared column slots ---------------------------------------------
     col_objs = []
@@ -590,8 +598,11 @@ def _build_plan(src, outs, where_ast, by_ast):
                 if a.name == "avg":
                     e = eff(cid)
                     s = jnp.where(e == 0, jnp.float64(np.nan), s / e)
-                elif grouped and cid in need_nullcnt:
-                    # grouped sum propagates nulls (oracle-pinned)
+                elif grouped and cid in need_nullcnt and \
+                        a.meta.get("plain_col"):
+                    # grouped sum of a PLAIN column propagates nulls;
+                    # derived exprs sum per-group vectors which SKIP
+                    # them (oracle-pinned)
                     s = jnp.where(mm[f"nullcnt{cid}"][ordi] > 0,
                                   jnp.float64(np.nan), s)
                 P.add(lane, s)
@@ -609,7 +620,8 @@ def _build_plan(src, outs, where_ast, by_ast):
                             e == 0, jnp.float64(np.nan), tot / e))
                     else:
                         v = tot.astype(jnp.int64)
-                        if grouped and cid in need_nullcnt:
+                        if grouped and cid in need_nullcnt and \
+                                a.meta.get("plain_col"):
                             ot = SUM_OUT.get(rt, T.I64)
                             nv = np.int64(T.NULL_BY_TYPE.get(
                                 ot, T.NULL_I64))
@@ -668,291 +680,6 @@ def _build_plan(src, outs, where_ast, by_ast):
     return plan
 
 
-class _WidePlan:
-    __slots__ = ("fn", "slicer", "col_objs", "key_meta", "aggs",
-                 "lanes_meta", "n_rows")
-
-
-_TRASH62 = 1 << 62
-
-
-def _build_plan_wide(src, n_rows, cw, key_cs, key_meta, n_codes, aggs):
-    """High-cardinality multi-key grouping (the analogue of the
-    reference's radix-partitioned hash grouping, core/index.c:2556):
-    the keys pack LOSSLESSLY into one i64 code (product of ranges
-    <= 2^62), rows are stably sorted by it, group boundaries come from
-    adjacent-difference flags, and every aggregate is a log-doubling
-    segmented scan + boundary gather. The group count is dynamic, so
-    execution is two-phase: fetch the scalar count, then slice-and-pack
-    the first n_groups (bucket-rounded) entries of each result lane."""
-    if any(a.name == "med" for a in aggs):
-        return None   # med needs dense starts; host path covers it
-    col_objs = []
-    slot_of = {}
-
-    def assign(ck):
-        mapping = []
-        for ref in ck.cols:
-            key = id(ref.col)
-            if key not in slot_of:
-                slot_of[key] = len(col_objs)
-                col_objs.append(ref.col)
-            mapping.append(slot_of[key])
-        return mapping
-
-    w_map = assign(cw) if cw is not None else None
-    key_maps = [assign(ck) for ck in key_cs]
-    agg_maps = {id(a.inner): assign(a.inner) for a in aggs}
-
-    def may_null(a):
-        if not a.meta.get("plain_col"):
-            return True
-        try:
-            return dev.column_has_null(a.inner.cols[0].col)
-        except Exception:
-            return True
-
-    need_nullcnt = set()
-    need_sum = {}     # cid -> "int" | "f64"
-    need_min = set()
-    need_max = set()
-    for a in aggs:
-        cid = id(a.inner)
-        if a.name in ("sum", "avg"):
-            if may_null(a):
-                need_nullcnt.add(cid)
-            need_sum[cid] = "f64" if a.inner.rtype == T.F64 else "int"
-        elif a.name in ("min", "max"):
-            if may_null(a):
-                need_nullcnt.add(cid)
-            (need_min if a.name == "min" else need_max).add(cid)
-
-    lanes_meta = {}
-
-    def pipeline(*cols):
-        def sub_env(mapping):
-            return [cols[i] for i in mapping]
-
-        mask = None
-        if cw is not None:
-            mask = jnp.asarray(cw.fn(sub_env(w_map))).astype(bool)
-        code = None
-        for ck, mp, (_nm, lo, rng, _rt, _dom) in zip(
-                key_cs, key_maps, key_meta):
-            arr = jnp.asarray(ck.fn(sub_env(mp)))
-            cc = arr.astype(jnp.int64) - lo
-            code = cc if code is None else code * rng + cc
-        if code is None:
-            code = jnp.zeros(n_rows, jnp.int64)
-        if mask is not None:
-            code = jnp.where(mask, code, jnp.int64(_TRASH62))
-
-        arrs = {}
-        rtypes = {}
-        for a in aggs:
-            cid = id(a.inner)
-            if a.name != "count" and cid not in arrs:
-                arrs[cid] = jnp.asarray(a.inner.fn(sub_env(
-                    agg_maps[cid])))
-                rtypes[cid] = a.inner.rtype
-
-        payloads, p_specs = [], []
-        for cid, kind in sorted(need_sum.items()):
-            arr = arrs[cid]
-            if kind == "f64":
-                payloads.append(jnp.where(jnp.isnan(arr), 0.0, arr))
-            else:
-                nv = T.NULL_BY_TYPE.get(rtypes[cid])
-                a64 = arr.astype(jnp.int64)
-                if nv is not None:
-                    a64 = jnp.where(a64 == np.int64(nv), 0, a64)
-                payloads.append(a64)
-            p_specs.append(("sum", cid))
-        for cid in sorted(need_min):
-            payloads.append(_minmax_payload(arrs[cid], rtypes[cid],
-                                            True))
-            p_specs.append(("min", cid))
-        for cid in sorted(need_max):
-            payloads.append(_minmax_payload(arrs[cid], rtypes[cid],
-                                            False))
-            p_specs.append(("max", cid))
-        for cid in sorted(need_nullcnt):
-            payloads.append(_null_mask(arrs[cid], rtypes[cid])
-                            .astype(jnp.float64))
-            p_specs.append(("nullcnt", cid))
-
-        iota = jnp.arange(n_rows, dtype=jnp.int32)
-        sorted_ = jax.lax.sort([code, iota] + payloads, num_keys=1,
-                               is_stable=True)
-        sc, siota = sorted_[0], sorted_[1]
-        spay = sorted_[2:]
-
-        flags = jnp.concatenate(
-            [jnp.ones(1, bool), sc[1:] != sc[:-1]])
-        valid_start = flags & (sc < _TRASH62)
-        ng = valid_start.sum().astype(jnp.int32)
-        starts = jnp.nonzero(flags, size=n_rows,
-                             fill_value=n_rows - 1)[0]
-        ends = jnp.concatenate(
-            [starts[1:], jnp.full(1, n_rows, starts.dtype)])
-        ea = (ends - 1).astype(jnp.int32)
-        sa = starts.astype(jnp.int32)
-
-        counts_g = ends - starts
-        lanes = {"ng": jnp.reshape(ng, (1,)),
-                 "keycode": sc[sa],
-                 "fidx": siota[sa].astype(jnp.int32)}
-        if any(a.name == "last" for a in aggs):
-            lanes["lidx"] = siota[ea].astype(jnp.int32)
-        seg = {}
-        for (kind, cid), pay in zip(p_specs, spay):
-            if kind == "min":
-                seg[(kind, cid)] = G.seg_doubling_min(sc, pay)[ea]
-            elif kind == "max":
-                seg[(kind, cid)] = G.seg_doubling_max(sc, pay)[ea]
-            else:   # sum / nullcnt (i64 sums wrap like the host's)
-                seg[(kind, cid)] = G.seg_doubling_sum(sc, pay)[ea]
-
-        # finalize per-agg lanes (still in sorted-code order)
-        for a in aggs:
-            cid = id(a.inner)
-            rt = a.inner.rtype if a.name != "count" else T.I64
-            lane = f"{a.name}:{a.sid}"
-            if lane in lanes:
-                continue
-            if a.name == "count":
-                lanes[lane] = counts_g.astype(jnp.int64)
-            elif a.name == "first":
-                lanes[lane] = lanes["fidx"]
-            elif a.name == "last":
-                lanes[lane] = lanes["lidx"]
-            elif a.name in ("min", "max"):
-                # all-null: min keeps the typed INF init, max -> NULL
-                v = seg[(a.name, cid)]
-                if cid in need_nullcnt:
-                    empty = seg[("nullcnt", cid)] >= \
-                        counts_g.astype(jnp.float64)
-                    if rt == T.F64:
-                        if a.name == "max":
-                            v = jnp.where(empty, jnp.float64(np.nan),
-                                          v)
-                    elif a.name == "max":
-                        nv = np.int64(T.NULL_BY_TYPE.get(
-                            rt, T.NULL_I64))
-                        v = jnp.where(empty, nv, v)
-                    else:
-                        v = jnp.where(
-                            empty,
-                            np.int64(np.iinfo(T.DTYPE[rt]).max), v)
-                lanes[lane] = v
-            else:  # sum / avg
-                s = seg[("sum", cid)]
-                if a.name == "avg":
-                    e = counts_g.astype(jnp.float64)
-                    if cid in need_nullcnt:
-                        e = e - seg[("nullcnt", cid)]
-                    s = jnp.where(e == 0, jnp.float64(np.nan),
-                                  s.astype(jnp.float64) / e)
-                elif cid in need_nullcnt:
-                    # grouped sum propagates nulls (oracle-pinned)
-                    anyn = seg[("nullcnt", cid)] > 0
-                    if rt == T.F64:
-                        s = jnp.where(anyn, jnp.float64(np.nan), s)
-                    else:
-                        ot = SUM_OUT.get(rt, T.I64)
-                        s = jnp.where(anyn, np.int64(T.NULL_BY_TYPE
-                                                     .get(ot,
-                                                          T.NULL_I64)),
-                                      s)
-                lanes[lane] = s
-        lanes_meta["names"] = sorted(lanes.keys())
-        return tuple(lanes[nm] for nm in lanes_meta["names"])
-
-    def slice_pack(*arrs, ngp):
-        P = G.Packer()
-        names = [nm for nm in lanes_meta["names"] if nm != "ng"]
-        for nm, arr in zip(names, arrs):
-            P.add(nm, arr[:ngp])
-        bufs, layout = P.pack()
-        lanes_meta["slice_layout"] = layout
-        return bufs
-
-    plan = _WidePlan()
-    plan.fn = jax.jit(pipeline)
-    plan.slicer = jax.jit(slice_pack, static_argnames=("ngp",),
-                          out_shardings=dev.host_sharding())
-    plan.col_objs = col_objs
-    plan.key_meta = key_meta
-    plan.aggs = aggs
-    plan.lanes_meta = lanes_meta
-    plan.n_rows = n_rows
-    return plan
-
-
-def _run_wide(plan: _WidePlan):
-    cols = [dev.dev_col(c) for c in plan.col_objs]
-    outs = plan.fn(*cols)
-    names = plan.lanes_meta["names"]
-    lanes = dict(zip(names, outs))
-    ng = int(np.asarray(lanes.pop("ng"))[0])
-    if ng <= 0:
-        return ng, {}
-    ngp = 1 << max((ng - 1).bit_length(), 6)   # bucket recompiles
-    ngp = min(max(ngp, ng), plan.n_rows)
-    arrs = [lanes[nm] for nm in names if nm != "ng"]
-    bufs = plan.slicer(*arrs, ngp=ngp)
-    bufs = jax.device_get(bufs)
-    out = G.unpack(bufs, plan.lanes_meta["slice_layout"])
-    return ng, out
-
-
-def _decode_wide(plan: _WidePlan, ng, lanes):
-    fidx = lanes["fidx"][:ng]
-    order = np.argsort(fidx, kind="stable")
-    keycode = lanes["keycode"][:ng][order]
-
-    out_names: list[int] = []
-    out_cols: list[Obj] = []
-    muls = []
-    m = 1
-    for _nm, _lo, rng, _rt, _dom in reversed(plan.key_meta):
-        muls.append(m)
-        m *= rng
-    muls.reverse()
-    for (nm, lo, rng, rt, dom), mul in zip(plan.key_meta, muls):
-        vals = (keycode // mul) % rng + lo
-        out_names.append(nm)
-        if dom is not None:
-            out_cols.append(Obj(T.ENUM, vals.astype(np.int64),
-                                domain=dom))
-        elif rt == T.SYMBOL:
-            out_cols.append(Obj(T.SYMBOL, vals.astype(np.int64)))
-        else:
-            out_cols.append(Obj(rt, vals.astype(T.DTYPE[rt])))
-
-    for a in plan.aggs:
-        out_names.append(a.sid)
-        rt = a.inner.rtype if a.name != "count" else T.I64
-        lane = lanes[f"{a.name}:{a.sid}"][:ng][order]
-        if a.name == "count":
-            out_cols.append(Obj(T.I64, lane.astype(np.int64)))
-        elif a.name in ("first", "last"):
-            out_cols.append(_host_gather(a.inner.cols[0].col, lane))
-        elif a.name in ("min", "max"):
-            if rt == T.F64:
-                out_cols.append(Obj(T.F64, lane.astype(np.float64)))
-            else:
-                out_cols.append(Obj(rt, lane.astype(T.DTYPE[rt])))
-        elif a.name == "avg" or rt == T.F64:
-            out_cols.append(Obj(T.F64, lane.astype(np.float64)))
-        else:
-            ot = SUM_OUT.get(rt, T.I64)
-            out_cols.append(Obj(ot, lane.astype(T.DTYPE[ot])))
-
-    return table(Obj(T.SYMBOL, np.asarray(out_names, dtype=np.int64)),
-                 out_cols)
-
-
 def _host_gather(col_obj: Obj, idx: np.ndarray) -> Obj:
     """first/last: gather column values at group row ids on the host."""
     from ..ops.compose import gather
@@ -989,11 +716,27 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
     elif plan == "unsupported":
         return None
 
-    if isinstance(plan, _WidePlan):
-        ng, lanes = _run_wide(plan)
-        if ng <= 0:
-            return None
-        return _decode_wide(plan, ng, lanes)
+    from . import sortagg as _sa
+    if isinstance(plan, _sa._SAPlan):
+        import time as _t
+        t0 = _t.perf_counter()
+        r = _sa.run(plan)
+        last_profile.clear()
+        last_profile.update({"engine": "sortagg",
+                             "exec_ms": (_t.perf_counter() - t0) * 1e3,
+                             "n_codes": plan.n_codes,
+                             "exact": plan.exact})
+        return None if isinstance(r, str) else r
+
+    from . import wide as _wd
+    if isinstance(plan, _wd._WPlan):
+        import time as _t
+        t0 = _t.perf_counter()
+        r = _wd.run(plan)
+        last_profile.clear()
+        last_profile.update({"engine": "wide",
+                             "exec_ms": (_t.perf_counter() - t0) * 1e3})
+        return None if isinstance(r, str) else r
 
     import time as _t
     t0 = _t.perf_counter()
@@ -1059,14 +802,14 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         elif rt == T.F64 or a.name == "avg":
             if a.meta.get("limb_fallback"):
                 out_cols.append(self_recombine(a, lanes, k, avg=True,
-                    grouped=bool(plan.key_meta)))
+                    grouped=bool(plan.key_meta) and bool(a.meta.get("plain_col"))))
             else:
                 out_cols.append(Obj(T.F64,
                                     lanes[lane][:k].astype(np.float64)))
         else:  # integer sum
             if a.meta.get("limb_fallback"):
                 out_cols.append(self_recombine(a, lanes, k, avg=False,
-                    grouped=bool(plan.key_meta)))
+                    grouped=bool(plan.key_meta) and bool(a.meta.get("plain_col"))))
             else:
                 ot = SUM_OUT.get(rt, T.I64)
                 out_cols.append(Obj(ot,
