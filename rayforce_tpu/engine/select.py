@@ -226,6 +226,16 @@ def _build_plan(src, outs, where_ast, by_ast):
     small = n_codes <= G.SMALL_N
     has_dev = any(a.name == "dev" for a in aggs)
     if by_pairs and (not small or has_dev):
+        m = dev.mesh()
+        if m is not None:
+            # mesh mode: fan the grouped select out over the chips
+            # (partial-aggregate all_to_all exchange); shapes the
+            # distributed kernel doesn't cover run single-chip
+            from . import dgroup
+            dp = dgroup.build_plan(src, n_rows, cw, key_cs, key_meta,
+                                   n_codes, aggs, m)
+            if dp is not None:
+                return dp
         # mid-cardinality (or dev-needing) grouped select: the
         # sort+compaction engine (engine/sortagg.py)
         from . import sortagg
@@ -715,6 +725,16 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         _plan_cache[key] = plan
     elif plan == "unsupported":
         return None
+
+    from . import dgroup as _dg
+    if isinstance(plan, _dg._DPlan):
+        import time as _t
+        t0 = _t.perf_counter()
+        r = _dg.run(plan)
+        last_profile.clear()
+        last_profile.update({"engine": "dist-group",
+                             "exec_ms": (_t.perf_counter() - t0) * 1e3})
+        return None if isinstance(r, str) else r
 
     from . import sortagg as _sa
     if isinstance(plan, _sa._SAPlan):

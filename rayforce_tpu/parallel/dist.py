@@ -237,3 +237,265 @@ def dist_filter_group_sum(mesh: Mesh, n_codes: int):
         return jax.lax.psum(s, axis), jax.lax.psum(cnt, axis)
 
     return jax.jit(kernel)
+
+
+# -- distributed wide group-by (partial-aggregate exchange) -------------------
+#
+# The multi-chip version of engine/wide.py, following the reference's
+# radix-partition blueprint (core/index.c:2556-2729) lifted onto ICI:
+#
+#   stage A (per chip): local sort-agg over the shard's rows ->
+#     compacted partial groups (code, sum, count, fidx). This is the
+#     COMBINER: a heavy-hitter key contributes at most ONE partial per
+#     chip, so key skew cannot overload the exchange (the skew-aware
+#     repartitioning the reference needs for raw-row scatters is
+#     unnecessary once rows pre-aggregate).
+#   stage B: all_to_all partials to the chip owning hash(code) % n_dev.
+#     Per-(src,dst) capacity = rows_local, which CANNOT overflow (a
+#     shard has at most rows_local distinct groups in total) — the
+#     exchange is zero-drop by construction, unlike a raw-row shuffle.
+#   stage C (per chip): merge received partials (sort by code, fidx;
+#     segmented combine), compact to `out_cap` groups. out_cap CAN
+#     overflow under extreme hash imbalance, so the kernel returns an
+#     overflow count; dist_wide_groupby_auto retries with doubled
+#     capacity when it is nonzero.
+#   stage D: all_gather merged groups; every chip orders them by global
+#     first-row id (first-appearance order, replicated result).
+
+def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int):
+    """Build the jitted distributed group-by-sum/count kernel.
+
+    fn(codes, values) with row-sharded i64 codes (masked rows = -1) and
+    f64 values; returns replicated (ng, overflow, codes, sums, counts,
+    fidx) where the first `ng` entries of each lane are the groups in
+    global first-appearance order.
+    """
+    from ..engine import groupby as G
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    C = rows_local
+    BIG = np.int32(1 << 30)
+
+    def _compact(flags, lanes, cap, n):
+        """Boundary compaction: positions of flagged rows, ascending,
+        then lane gathers (n is small shard-local size here)."""
+        iota = jnp.arange(n, dtype=jnp.int32)
+        ck = jnp.where(flags, iota, iota + BIG)
+        bpos = jax.lax.sort([ck], num_keys=1,
+                            is_stable=False)[0][:cap] & (BIG - 1)
+        bposc = jnp.clip(bpos, 0, n - 1)
+        return [ln[bposc] for ln in lanes]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+             out_specs=(P(), P(), P(), P(), P(), P()),
+             check_rep=False)
+    def kernel(codes, values):
+        me = jax.lax.axis_index(axis).astype(jnp.int64)
+        n = codes.shape[0]
+        pos_bits = max(int(n - 1).bit_length(), 1)
+        posmask = (np.int64(1) << pos_bits) - 1
+
+        # ---- stage A: local sort-agg ---------------------------------
+        valid_in = codes >= 0
+        key = jnp.where(
+            valid_in,
+            (codes << pos_bits) | jnp.arange(n, dtype=jnp.int64),
+            jnp.int64(G.KEY_MAX))
+        skey, sval = jax.lax.sort([key, values], num_keys=1,
+                                  is_stable=False)
+        sc = skey >> pos_bits
+        valid = skey != G.KEY_MAX
+        flags = valid & jnp.concatenate(
+            [jnp.ones(1, bool), sc[1:] != sc[:-1]])
+        segid = jnp.cumsum(flags.astype(jnp.int32) +
+                           (~valid).astype(jnp.int32))
+        rs = segid[::-1]
+        psum_v = G.seg_doubling_sum(rs, sval[::-1])[::-1]
+        pcnt = G.seg_doubling_sum(rs, jnp.ones(n, jnp.int64))[::-1]
+        pfidx = (skey & posmask) + me * n       # global row id
+        pcode, psum_c, pcnt_c, pfidx_c = _compact(
+            flags, [jnp.where(flags, sc, -1), psum_v, pcnt, pfidx],
+            C, n)
+
+        # ---- stage B: all_to_all by code ownership -------------------
+        live = pcode >= 0
+        dk = jnp.where(live, (pcode % n_dev).astype(jnp.int32),
+                       np.int32(n_dev))
+        order = jnp.argsort(dk, stable=True)
+        dks = dk[order]
+        live_s = dks < n_dev
+        within = jnp.arange(C, dtype=jnp.int32) - jnp.searchsorted(
+            dks, dks, side="left").astype(jnp.int32)
+        # dead rows scatter out of bounds -> dropped
+        slot = jnp.where(live_s, dks * C + within,
+                         np.int32(n_dev) * C)
+
+        def exchange(lane, fill):
+            ls = lane[order]
+            buf = jnp.full((n_dev * C,), fill, dtype=ls.dtype)
+            buf = buf.at[slot].set(ls, mode="drop")
+            return jax.lax.all_to_all(
+                buf.reshape(n_dev, C), axis, 0, 0,
+                tiled=False).reshape(-1)
+
+        rcode = exchange(pcode, np.int64(-1))
+        rsum = exchange(psum_c, np.float64(0))
+        rcnt = exchange(pcnt_c, np.int64(0))
+        rfidx = exchange(pfidx_c, np.int64(G.KEY_MAX))
+
+        # ---- stage C: merge received partials ------------------------
+        m = n_dev * C
+        mkey = jnp.where(rcode >= 0, rcode, jnp.int64(G.KEY_MAX))
+        ms = jax.lax.sort([mkey, rfidx, rsum, rcnt], num_keys=2,
+                          is_stable=False)
+        msc, msf, mss, msn = ms
+        mvalid = msc != G.KEY_MAX
+        mflags = mvalid & jnp.concatenate(
+            [jnp.ones(1, bool), msc[1:] != msc[:-1]])
+        msegid = jnp.cumsum(mflags.astype(jnp.int32) +
+                            (~mvalid).astype(jnp.int32))
+        mrs = msegid[::-1]
+        tot_s = G.seg_doubling_sum(mrs, mss[::-1])[::-1]
+        tot_n = G.seg_doubling_sum(mrs, msn[::-1])[::-1]
+        my_ng = mflags.sum().astype(jnp.int32)
+        overflow = jnp.maximum(my_ng - out_cap, 0)
+        gcode, gsum, gcnt, gfidx = _compact(
+            mflags, [jnp.where(mflags, msc, -1), tot_s, tot_n, msf],
+            out_cap, m)
+
+        # ---- stage D: all_gather + global first-appearance order -----
+        acode = jax.lax.all_gather(gcode, axis).reshape(-1)
+        asum = jax.lax.all_gather(gsum, axis).reshape(-1)
+        acnt = jax.lax.all_gather(gcnt, axis).reshape(-1)
+        afidx = jax.lax.all_gather(gfidx, axis).reshape(-1)
+        fkey = jnp.where(acode >= 0, afidx, jnp.int64(G.KEY_MAX))
+        oc, of, osum, ocnt = jax.lax.sort(
+            [fkey, acode, asum, acnt], num_keys=1, is_stable=False)
+        ng = (of >= 0).sum().astype(jnp.int64)
+        ovf = jax.lax.psum(overflow, axis)
+        return (jnp.reshape(ng, (1,)),
+                jnp.reshape(ovf.astype(jnp.int64), (1,)),
+                of, osum, ocnt, oc)
+
+    return jax.jit(kernel)
+
+
+def dist_wide_groupby_auto(mesh: Mesh, rows_local: int):
+    """Overflow-safe wrapper: run with balanced capacity + headroom,
+    re-run with doubled merge capacity if any chip overflowed (the
+    reference's retry analogue for its capacity-bounded radix buckets;
+    overflow requires extreme hash imbalance, so the retry is rare)."""
+    cap = max(2 * rows_local, 64)
+    tried = {}
+
+    def run(codes, values):
+        c = cap
+        while True:
+            if c not in tried:
+                tried[c] = dist_wide_groupby(mesh, rows_local, c)
+            ng, ovf, code, s, cnt, fidx = tried[c](codes, values)
+            if int(np.asarray(ovf)[0]) == 0:
+                return ng, code, s, cnt, fidx
+            c *= 2
+
+    return run
+
+
+# -- distributed joins --------------------------------------------------------
+
+def dist_left_probe(mesh: Mesh):
+    """Distributed left/inner-join probe, broadcast-build strategy: the
+    (smaller) right side's key column is replicated to every chip, each
+    chip probes its row-shard of the left side locally. Returns
+    row-sharded (right_row_id, has_match); the caller gathers right
+    columns by id (the reference's HT build+probe, core/index.c:2886,
+    with the build side broadcast instead of partitioned)."""
+    axis = mesh.axis_names[0]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P()),
+             out_specs=(P(axis), P(axis)), check_rep=False)
+    def kernel(lkeys, rkeys):
+        nr = rkeys.shape[0]
+        # first-match semantics: sort right by (key, pos), probe left
+        rpos = jnp.arange(nr, dtype=jnp.int64)
+        sk, sp = jax.lax.sort([rkeys, rpos], num_keys=2)
+        ix = jnp.searchsorted(sk, lkeys, side="left")
+        ixc = jnp.clip(ix, 0, nr - 1)
+        has = sk[ixc] == lkeys
+        return jnp.where(has, sp[ixc], -1), has
+
+    return jax.jit(kernel)
+
+
+def dist_asof_probe(mesh: Mesh, rows_local_r: int):
+    """Distributed asof join: both sides exchanged by key % n_dev
+    (per-(src,dst) capacity = the shard size, zero-drop), then each
+    chip runs the local last-<= probe over its key partition; results
+    return to the left side's original row order via all_gather + sort
+    by global left row id. Replicated outputs (value, has) of the full
+    left length. Times must be < 2^31 (packed below the key)."""
+    from ..engine import groupby as G
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    BIG = np.int32(1 << 30)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+             out_specs=(P(), P()), check_rep=False)
+    def kernel(lkey, lts, rkey, rts, rval):
+        nl = lkey.shape[0]
+        nr = rkey.shape[0]
+        me = jax.lax.axis_index(axis).astype(jnp.int64)
+
+        def route(keys, lanes, cap):
+            n = keys.shape[0]
+            dest = (keys % n_dev).astype(jnp.int32)
+            order = jnp.argsort(dest, stable=True)
+            dest_s = dest[order]
+            within = jnp.arange(n, dtype=jnp.int32) - \
+                jnp.searchsorted(dest_s, dest_s,
+                                 side="left").astype(jnp.int32)
+            slot = dest_s * cap + within
+            outs = []
+            for lane, fill in lanes:
+                ls = lane[order]
+                buf = jnp.full((n_dev * cap,), fill, dtype=ls.dtype)
+                buf = buf.at[slot].set(ls, mode="drop")
+                outs.append(jax.lax.all_to_all(
+                    buf.reshape(n_dev, cap), axis, 0, 0,
+                    tiled=False).reshape(-1))
+            return outs
+
+        lrow = me * nl + jnp.arange(nl, dtype=jnp.int64)
+        xlk, xlt, xlr = route(lkey, [(lkey, np.int64(-1)),
+                                     (lts, np.int64(0)),
+                                     (lrow, np.int64(-1))], nl)
+        xrk, xrt, xrv = route(rkey, [(rkey, np.int64(-1)),
+                                     (rts, np.int64(0)),
+                                     (rval, np.float64(np.nan))],
+                              rows_local_r)
+
+        # local last-<= probe: sort right by key<<31|ts, searchsorted
+        rpk = jnp.where(xrk >= 0, (xrk << 31) | xrt,
+                        jnp.int64(G.KEY_MAX))
+        srk, srv = jax.lax.sort([rpk, xrv], num_keys=1,
+                                is_stable=False)
+        lpk = (jnp.maximum(xlk, 0) << 31) | xlt
+        ix = jnp.searchsorted(srk, lpk, side="right") - 1
+        ixc = jnp.clip(ix, 0, srk.shape[0] - 1)
+        hit = (ix >= 0) & ((srk[ixc] >> 31) == xlk) & (xlk >= 0)
+        val = jnp.where(hit, srv[ixc], jnp.float64(np.nan))
+
+        # ---- return to original left order ---------------------------
+        arow = jax.lax.all_gather(jnp.where(xlk >= 0, xlr,
+                                            jnp.int64(G.KEY_MAX)),
+                                  axis).reshape(-1)
+        aval = jax.lax.all_gather(val, axis).reshape(-1)
+        ahit = jax.lax.all_gather(hit, axis).reshape(-1)
+        srow, sval2, shit = jax.lax.sort(
+            [arow, aval, ahit.astype(jnp.int8)], num_keys=1,
+            is_stable=False)
+        total = n_dev * nl
+        return sval2[:total], shit[:total].astype(bool)
+
+    return jax.jit(kernel)

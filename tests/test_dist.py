@@ -167,3 +167,172 @@ def test_spmd_select_parity(mesh8):
         os.environ.pop("RAYFORCE_MESH", None)
         dev._mesh_state.update(old_state)
         dev._cfg["threshold"] = old_thresh
+
+
+def test_dist_wide_groupby(mesh8):
+    """q7-shaped distributed group-by: partial-aggregate exchange via
+    all_to_all, zero-drop by construction, first-appearance order."""
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(3)
+    per = 1024
+    n = 8 * per
+    codes = rng.integers(0, 3000, n).astype(np.int64)
+    codes[rng.random(n) < 0.1] = -1        # masked (filtered) rows
+    vals = rng.uniform(0, 10, n)
+    cd, _ = dist.shard_rows(mesh8, codes)
+    vd, _ = dist.shard_rows(mesh8, vals)
+    run = dist.dist_wide_groupby_auto(mesh8, per)
+    ng, code, s, cnt, fidx = run(cd, vd)
+    ng = int(np.asarray(ng)[0])
+    code = np.asarray(code)[:ng]
+    s = np.asarray(s)[:ng]
+    cnt = np.asarray(cnt)[:ng]
+
+    # numpy ground truth in first-appearance order
+    keep = codes >= 0
+    seen = {}
+    for i, c in enumerate(codes):
+        if c >= 0 and c not in seen:
+            seen[c] = i
+    ref_codes = sorted(seen, key=lambda c: seen[c])
+    assert ng == len(ref_codes)
+    assert np.array_equal(code, np.asarray(ref_codes))
+    ref_sum = {c: 0.0 for c in seen}
+    ref_cnt = {c: 0 for c in seen}
+    for c, v in zip(codes[keep], vals[keep]):
+        ref_sum[c] += v
+        ref_cnt[c] += 1
+    assert np.allclose(s, [ref_sum[c] for c in ref_codes], atol=1e-9)
+    assert np.array_equal(cnt, [ref_cnt[c] for c in ref_codes])
+
+
+def test_dist_wide_groupby_skewed(mesh8):
+    """One heavy-hitter key owning 60% of rows: the pre-aggregation
+    combiner keeps the exchange balanced (<= 1 partial per chip per
+    group) and results exact."""
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(4)
+    per = 512
+    n = 8 * per
+    codes = rng.integers(0, 500, n).astype(np.int64)
+    codes[rng.random(n) < 0.6] = 137       # heavy hitter
+    vals = rng.uniform(0, 1, n)
+    cd, _ = dist.shard_rows(mesh8, codes)
+    vd, _ = dist.shard_rows(mesh8, vals)
+    run = dist.dist_wide_groupby_auto(mesh8, per)
+    ng, code, s, cnt, fidx = run(cd, vd)
+    ng = int(np.asarray(ng)[0])
+    code = np.asarray(code)[:ng]
+    cnt = np.asarray(cnt)[:ng]
+    hh = np.nonzero(code == 137)[0]
+    assert len(hh) == 1
+    assert cnt[hh[0]] == int((codes == 137).sum())
+    s_hh = float(np.asarray(s)[hh[0]])
+    assert abs(s_hh - vals[codes == 137].sum()) < 1e-9
+
+
+def test_dist_left_probe(mesh8):
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(5)
+    n = 8 * 512
+    nr = 700
+    lk = rng.integers(0, 1000, n).astype(np.int64)
+    rk = rng.permutation(2000)[:nr].astype(np.int64)  # unique keys
+    import jax
+    ld, _ = dist.shard_rows(mesh8, lk)
+    rd = jax.device_put(rk)
+    f = dist.dist_left_probe(mesh8)
+    rid, has = f(ld, rd)
+    rid = np.asarray(rid)
+    has = np.asarray(has)
+    pos = {k: i for i, k in enumerate(rk)}
+    for i in range(n):
+        if lk[i] in pos:
+            assert has[i] and rid[i] == pos[lk[i]], i
+        else:
+            assert not has[i], i
+
+
+def test_dist_asof_probe(mesh8):
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(6)
+    per = 256
+    n = 8 * per
+    nr = 8 * 384
+    lk = rng.integers(0, 40, n).astype(np.int64)
+    lt = rng.integers(0, 1_000_000, n).astype(np.int64)
+    rk = rng.integers(0, 40, nr).astype(np.int64)
+    rt_ = rng.integers(0, 1_000_000, nr).astype(np.int64)
+    rv = rng.uniform(0, 100, nr)
+    ld, _ = dist.shard_rows(mesh8, lk)
+    ltd, _ = dist.shard_rows(mesh8, lt)
+    rd, _ = dist.shard_rows(mesh8, rk)
+    rtd, _ = dist.shard_rows(mesh8, rt_)
+    rvd, _ = dist.shard_rows(mesh8, rv)
+    f = dist.dist_asof_probe(mesh8, 384)
+    val, has = f(ld, ltd, rd, rtd, rvd)
+    val = np.asarray(val)[:n]
+    has = np.asarray(has)[:n]
+
+    # numpy ground truth: last right row with same key and ts <= lt
+    order = np.lexsort((rt_, rk))
+    rks, rts, rvs = rk[order], rt_[order], rv[order]
+    for i in range(0, n, 37):
+        m = (rks == lk[i]) & (rts <= lt[i])
+        if m.any():
+            j = np.nonzero(m)[0][-1]
+            assert has[i], i
+            assert abs(val[i] - rvs[j]) < 1e-12, i
+        else:
+            assert not has[i], i
+
+
+def test_mesh_wide_select_parity(mesh8):
+    """End-to-end mesh-mode HIGH-CARDINALITY grouped select through the
+    interpreter: the dist-group (all_to_all exchange) engine must match
+    the host kernels exactly, including first-appearance order."""
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import device as dev, select as sel
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    old_state = dict(dev._mesh_state)
+    old_thresh = dev._cfg["threshold"]
+    os.environ["RAYFORCE_MESH"] = "8"
+    dev._mesh_state.update({"mesh": None, "checked": False})
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        assert dev.mesh() is not None
+        rng = np.random.default_rng(12)
+        n = 8 * 1000 + 5
+        k1 = rng.integers(0, 900, n).astype(np.int64)
+        k2 = rng.integers(0, 50, n).astype(np.int64)
+        v = rng.uniform(0, 10, n)
+        w = rng.integers(0, 100, n).astype(np.int64)
+        rt = Runtime()
+        rt.interp.globals[symbols.intern("t")] = table(
+            vec_sym(["k1", "k2", "v", "w"]),
+            [Obj(T.I64, k1), Obj(T.I64, k2), Obj(T.F64, v),
+             Obj(T.I64, w)])
+        for q in [
+            "(select {s: (sum v) c: (count v) from: t "
+            "by: {k1: k1 k2: k2}})",
+            "(select {a: (avg v) from: t by: {k1: k1 k2: k2} "
+            "where: (> w 30)})",
+            "(select {s: (sum w) from: t by: k1})",
+        ]:
+            dev.set_enabled(True)
+            s_dev = fmt(rt.eval_str(q))
+            eng = sel.last_profile.get("engine")
+            dev.set_enabled(False)
+            s_host = fmt(rt.eval_str(q))
+            dev.set_enabled(True)
+            assert s_dev == s_host, q
+            assert eng == "dist-group", (q, eng)
+    finally:
+        os.environ.pop("RAYFORCE_MESH", None)
+        dev._mesh_state.clear()
+        dev._mesh_state.update(old_state)
+        dev._cfg["threshold"] = old_thresh
