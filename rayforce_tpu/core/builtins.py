@@ -172,7 +172,7 @@ def build_env(interp_holder: dict) -> Env:
     def v_pmap(args):
         if len(args) < 2:
             raise RayError("arity", "pmap")
-        return it.ray_map(interp(), args[0], list(args[1:]))
+        return it.ray_pmap(interp(), args[0], list(args[1:]))
 
     def v_map_left(args):
         if len(args) != 3:
@@ -287,7 +287,7 @@ def build_env(interp_holder: dict) -> Env:
     R("unify", U, compose.ray_unify)
     R("raze", U, compose.ray_raze)
     R("diverse", U, compose.ray_diverse)
-    R("row", U, _stub_unary("row"), FN_AGGR)
+    R("row", U, misc.ray_row, FN_AGGR)
     R("ser", U, _fn_ser)
     R("de", U, _fn_de)
     # binary

@@ -71,6 +71,21 @@ class Interp:
         from ..ipc.client import HandleRegistry
         self.handles = HandleRegistry()
 
+    def fork(self) -> "Interp":
+        """A child evaluator sharing globals/env but with its OWN
+        frame and query-context stacks — the analogue of the
+        reference's per-executor VMs (pool.c: each executor owns a
+        vm_t; globals/heap are shared). Used by pmap workers; not
+        registered in the current-interp stack."""
+        child = object.__new__(Interp)
+        child.env = self.env
+        child.globals = self.globals
+        child.frames = []
+        child.qctx = []
+        child.depth = 0
+        child.handles = self.handles
+        return child
+
     # -- resolution (eval.c:134-176) ----------------------------------
     def resolve(self, sid: int):
         if sid == SYM_SELF and self.frames:

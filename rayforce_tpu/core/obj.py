@@ -71,6 +71,30 @@ class DevPendingSliced(DevPending):
         return np.asarray(self._full)[: self.shape[0]]
 
 
+class ConstPending(DevPending):
+    """MAPCOMMON-style constant column: one value + a row count
+    (reference core/vary.c:185-391 represents the virtual Date/Id
+    partition columns this way instead of materializing per-row
+    vectors). Materializes to np.full only when the host actually
+    touches the rows."""
+
+    __slots__ = ("value", "dtype")
+
+    def __init__(self, value, n: int, dtype):
+        super().__init__(thunk=lambda: _const_dev(value, n, dtype),
+                         shape=(n,))
+        self.value = value
+        self.dtype = dtype
+
+    def materialize(self) -> np.ndarray:
+        return np.full(self.shape[0], self.value, dtype=self.dtype)
+
+
+def _const_dev(value, n, dtype):
+    import jax.numpy as jnp
+    return jnp.full((n,), value, dtype=dtype)
+
+
 class DevPendingList(DevPending):
     """Right-only join column with unmatched rows: the device holds
     (gathered values, has_match); host materialization boxes them into
@@ -397,6 +421,9 @@ def at_idx(o: Obj, i: int) -> Obj:
         return enum_atom(o.domain, int(to_np(o)[i]))
     if t == T.GUID:
         return Obj(-T.GUID, to_np(o)[i])
+    if t in T.UNPARTED_OF:
+        from ..ops.parted import parted_at_idx
+        return parted_at_idx(o, i)
     if T.is_vector(t):
         return Obj(-t, to_np(o)[i])
     raise err_type("at_idx on non-indexable")

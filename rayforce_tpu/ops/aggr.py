@@ -263,3 +263,27 @@ def window_aggregate(name: str, col: Obj, w: WindowIndex) -> Obj:
         out = np.where(ok & okm, red, np.int64(nullv))
         return Obj(t, out.astype(T.DTYPE[t]))
     raise err_type(f"window aggregate {name} nyi")
+
+
+def aggr_row(col: Obj, index) -> Obj:
+    """Per-group ROW-ID vectors (reference compose.c:1166 ray_row /
+    aggr.c:3118 aggr_row: AGGR_ITER pushes each row's index $x into
+    its group's i64 vector; with a where-filter the pushed ids are the
+    ORIGINAL table row ids, filter[$i])."""
+    from ..core.obj import list_
+    ids = None
+    if col.t == T.MAPFILTER:
+        f = col.v[1]
+        if f.t == T.I64:
+            ids = to_np(f)
+        col = col.v[0]
+    if not isinstance(index, GroupIndex):
+        raise err_type("row on non-group index")
+    order, bounds = _sorted_layout(index)
+    out = []
+    for g in range(index.n):
+        rows = np.sort(order[bounds[g]:bounds[g + 1]]).astype(np.int64)
+        if ids is not None:
+            rows = ids[rows]
+        out.append(Obj(T.I64, rows))
+    return list_(out)

@@ -218,7 +218,23 @@ def ray_group(o: Obj) -> Obj:
     if o.t < 0:
         raise err_type("group needs a vector")
     if o.t == T.LIST:
-        raise err_type("group of list nyi")
+        # generic-object grouping (reference compose.c:1071 groups via
+        # index_group over the list's row hashes): first-appearance
+        # keys (unique elements, LIST) -> i64 index vectors
+        from .cmp import obj_equal
+        keys: list = []
+        groups: list = []
+        for i, e in enumerate(o.v):
+            for gi, kx in enumerate(keys):
+                if obj_equal(kx, e):
+                    groups[gi].append(i)
+                    break
+            else:
+                keys.append(e)
+                groups.append([i])
+        return dict_(list_(keys),
+                     list_([Obj(T.I64, np.asarray(g, dtype=np.int64))
+                            for g in groups]))
     a = to_np(o)
     uniq, first_idx, inv = np.unique(a, return_index=True,
                                      return_inverse=True)

@@ -218,3 +218,40 @@ def ray_scan_right(interp, f: Obj, seqs: list) -> Obj:
             out.append(acc)
         return list_(out)
     return list_([_call(interp, f, [x, y])])
+
+
+def ray_pmap(interp, f: Obj, seqs: list) -> Obj:
+    """Parallel map (reference iter.c:135-173 ray_pmap: each item runs
+    on an executor with its own VM). Here: the index space splits into
+    chunks, each evaluated on a thread with a FORKED interpreter (own
+    frame/qctx stacks, shared globals — the reference's executors
+    share the heap the same way); numpy/JAX kernels release the GIL,
+    which is where the actual parallelism lives."""
+    n = None
+    for s in seqs:
+        ln = _seq_len(s)
+        if ln is not None:
+            if n is None:
+                n = ln
+            elif n != ln:
+                raise err_length("pmap length mismatch")
+    if n is None:
+        return _call(interp, f, seqs)
+    if n < 2:
+        return ray_map(interp, f, seqs)
+    import concurrent.futures as cf
+    workers = min(8, n)
+    bounds = [(k * n) // workers for k in range(workers + 1)]
+    out: list = [None] * n
+
+    def run_chunk(k):
+        w = interp.fork()
+        for i in range(bounds[k], bounds[k + 1]):
+            args = [s if s.t < 0 else at_idx(s, i) for s in seqs]
+            out[i] = _call(w, f, args)
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(run_chunk, k) for k in range(workers)]
+        for fu in futs:
+            fu.result()
+    return unify_list(out)

@@ -116,6 +116,15 @@ def _aggr_dispatch(o: Obj, scalar_fn, name):
         from .filter import filter_collect
         return scalar_fn(filter_collect(o.v[0], o.v[1]))
     if o.t in T.UNPARTED_OF:
+        if name == "count":
+            return Obj(-T.I64, np.int64(sum(len(p) for p in o.v)))
+        if name in ("avg", "med", "dev"):
+            # not exactly combinable from per-piece partials (float
+            # summation order / rank statistics): compute over the
+            # razed view so the result is bit-identical to the
+            # unparted kernel
+            from .parted import parted_raze
+            return scalar_fn(parted_raze(o))
         # stream partition-at-a-time, combine partials
         # (reference PARTED_MAP, aggr.c:183-260)
         parts = [_aggr_dispatch(p, scalar_fn, name) for p in o.v]

@@ -173,3 +173,23 @@ def ray_sysinfo(args: list) -> Obj:
                  list_([string(platform.system().lower()),
                         string(platform.machine()),
                         list_([string(d) for d in devs])]))
+
+
+def ray_row(o: Obj) -> Obj:
+    """(row x): in a grouped select, the per-group ROW-ID vectors; on a
+    plain value, its count (reference compose.c:1166 ray_row default
+    branch returns ops_count)."""
+    if o.t == T.MAPGROUP:
+        from .aggr import aggr_row
+        return aggr_row(o.v[0], o.v[1])
+    if o.t == T.MAPFILTER:
+        from .aggr import aggr_row
+        from .group import GroupIndex
+        _val, f = o.v
+        if f.t == T.I64:
+            ids = to_np(f)
+            gi = GroupIndex(np.zeros(len(ids), dtype=np.int64), 1,
+                            np.zeros(1, dtype=np.int64))
+            return aggr_row(o, gi)
+    from .items import ray_count
+    return ray_count(o)

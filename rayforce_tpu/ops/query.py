@@ -171,6 +171,79 @@ def _flat_view(src: Obj) -> Obj:
     return flat
 
 
+# partition-streaming device aggregation: None = auto (stream when the
+# flat view would exceed the _flat_view guard), True = always stream
+# (tests), False = never
+STREAM_PARTED = None
+
+# combine op applied to stacked per-partition partials (the reference
+# streams partitions through PARTED_MAP and pairwise-merges partials,
+# core/aggr.c:183-260; same algebra here)
+_COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max",
+            "first": "first", "last": "last"}
+
+
+def _stream_device_select(interp, src, outs, where_ast, by_ast):
+    """Aggregate a parted table partition-at-a-time on the device and
+    combine the (small) per-partition partials on the host — the
+    streaming path for parted DBs larger than device memory. Only
+    combine-decomposable aggregates stream (sum/count/min/max/
+    first/last); avg/med/dev fall back to the host streaming path."""
+    from ..engine.exprc import split_aggregate
+    names_o, cols = src.v
+    nparts = len(cols[0].v)
+
+    def sub_table(i):
+        pieces = [c.v[i] for c in cols]
+        return table(names_o, pieces)
+
+    s0 = sub_table(0)
+    combos = []
+    for sid, ast in outs:
+        sp = split_aggregate(s0, ast)
+        if sp is None or sp[0] not in _COMBINE:
+            return None
+        combos.append((sid, _COMBINE[sp[0]]))
+
+    from ..engine.select import try_select_device
+    partials = []
+    for i in range(nparts):
+        sub = sub_table(i)
+        r = try_select_device(interp, sub, outs, where_ast, by_ast,
+                              None)
+        if r is None:
+            # unsupported shape (or an all-filtered partition, which
+            # is indistinguishable here) -> be conservative, host path
+            return None
+        partials.append(r)
+    if len(partials) == 1:
+        return partials[0]
+
+    # stack partial tables (host, small) and combine
+    pnames = to_np(partials[0].v[0])
+    n_keys = len(pnames) - len(outs)
+    stacked = []
+    for ci in range(len(pnames)):
+        pieces = [p.v[1][ci] for p in partials]
+        base = pieces[0].t
+        dom = pieces[0].domain
+        arrs = [to_np(p) for p in pieces]
+        stacked.append(Obj(base, np.concatenate(arrs), domain=dom))
+    if n_keys == 0:
+        # no-by: a single global group
+        gindex = group_multi([Obj(T.I64, np.zeros(len(stacked[0]),
+                                                  dtype=np.int64))])
+        key_cols = []
+    else:
+        key_cols = stacked[:n_keys]
+        gindex = group_multi(key_cols)
+    from .aggr import grouped_aggregate
+    out_cols = [gather(c, gindex.first_ids) for c in key_cols]
+    for (sid, op), col in zip(combos, stacked[n_keys:]):
+        out_cols.append(grouped_aggregate(op, col, gindex))
+    return table(partials[0].v[0], out_cols)
+
+
 def _try_device_select(interp, d: Obj):
     """Attempt the fused TPU path (engine/select.py). Any unsupported
     shape falls back to the host interpreter with identical semantics."""
@@ -203,7 +276,24 @@ def _try_device_select(interp, d: Obj):
         from ..engine import device as _dev
         if not _dev.should_use(len(src)):
             return None
-        src = _flat_view(src)
+        _, _cols0 = src.v
+        parted = any(c.t in T.UNPARTED_OF for c in _cols0)
+        if parted:
+            flat = src if STREAM_PARTED is True else _flat_view(src)
+            if flat is src and STREAM_PARTED is not False and \
+                    by_ast is not None:
+                out = _stream_device_select(interp, src, outs,
+                                            where_ast, by_ast)
+                if out is not None:
+                    if take_ast is not None:
+                        tv = collect_lazy(interp.eval(take_ast))
+                        out = _apply_take(out, int(tv.v))
+                    return out
+                return None
+            src = flat
+            if src is flat and any(c.t in T.UNPARTED_OF
+                                   for c in src.v[1]):
+                return None   # too big to raze, not streamable
         from ..engine.select import try_select_device
         lim = None
         if take_ast is not None:

@@ -33,13 +33,26 @@ def set_parted(db: str, part: str, tbl_name: str, tbl: Obj,
                         interp=interp)
 
 
+_INT_RE = re.compile(r"^\d+$")
+
+
 def get_parted(db: str, tbl_name: str, interp=None) -> Obj:
-    """Load a date-parted table: columns become parted lists of mmaps."""
+    """Load a parted table: columns become parted lists of mmaps. Date-
+    named partition dirs yield a virtual `Date` column, integer-named
+    dirs a virtual `Id` column (reference core/vary.c:185-391); either
+    is a per-partition CONSTANT (value + rowcount, MAPCOMMON) — never
+    materialized per row."""
     parts = []
+    int_parts = False
     for d in sorted(os.listdir(db)):
-        m = _DATE_RE.match(d)
-        if m and os.path.isdir(os.path.join(db, d, tbl_name)):
-            parts.append(d)
+        if os.path.isdir(os.path.join(db, d, tbl_name)):
+            if _DATE_RE.match(d):
+                parts.append(d)
+            elif _INT_RE.match(d):
+                parts.append(d)
+                int_parts = True
+    if int_parts:
+        parts.sort(key=lambda s: int(s) if _INT_RE.match(s) else -1)
     if not parts:
         raise RayError("os", f"no partitions for {tbl_name} in {db}")
     # shared sym
@@ -69,17 +82,25 @@ def get_parted(db: str, tbl_name: str, interp=None) -> Obj:
             cols.append(binary.get_path(os.path.join(path, nm)))
         per_part.append(cols)
 
+    from ..core.obj import ConstPending
     ncols = len(schema)
     out_cols = []
-    # virtual Date column: per-partition constant (MAPCOMMON analogue)
-    date_parts = []
+    # virtual Date/Id column: per-partition constants (MAPCOMMON)
+    vparts = []
     for p, cols in zip(parts, per_part):
-        y, mo, d = map(int, p.split("."))
-        days = temporal.days_from_civil(y, mo, d)
         n = len(cols[0])
-        date_parts.append(Obj(T.DATE, np.full(n, days, dtype=np.int32)))
-    out_cols.append(Obj(T.PARTED_OF[T.DATE], date_parts))
-    names = [symbols.intern("Date")] + list(schema)
+        if int_parts:
+            vparts.append(Obj(T.I64, ConstPending(
+                np.int64(int(p)), n, np.int64)))
+        else:
+            y, mo, d = map(int, p.split("."))
+            days = temporal.days_from_civil(y, mo, d)
+            vparts.append(Obj(T.DATE, ConstPending(
+                np.int32(days), n, np.int32)))
+    vt = T.I64 if int_parts else T.DATE
+    out_cols.append(Obj(T.PARTED_OF[vt], vparts))
+    names = [symbols.intern("Id" if int_parts else "Date")] \
+        + list(schema)
     for ci in range(ncols):
         pieces = [per_part[pi][ci] for pi in range(len(parts))]
         base = pieces[0].t

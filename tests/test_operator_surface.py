@@ -1,0 +1,82 @@
+"""Operator-surface completions from round 2: `row`, `group` of LIST,
+parallel `pmap`, and grouped `dev` on host + device."""
+import os
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+from rayforce_tpu import Runtime                       # noqa: E402
+from rayforce_tpu.core.fmt import format_top as fmt    # noqa: E402
+
+
+def _rt():
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    return Runtime()
+
+
+def test_row_grouped():
+    rt = _rt()
+    rt.eval_str("(set t (table [k v] (list [1 2 1 2 1] "
+                "[10 20 30 40 50])))")
+    out = fmt(rt.eval_str("(select {r: (row v) from: t by: k})"))
+    assert "[0 2 4]" in out and "[1 3]" in out
+
+
+def test_row_filtered_keeps_original_ids():
+    rt = _rt()
+    rt.eval_str("(set t (table [k v] (list [1 2 1 2 1] "
+                "[10 20 30 40 50])))")
+    out = fmt(rt.eval_str(
+        "(select {r: (row v) from: t by: k where: (> v 15)})"))
+    assert "[2 4]" in out and "[1 3]" in out
+
+
+def test_row_plain_is_count():
+    rt = _rt()
+    assert fmt(rt.eval_str("(row [5 6 7])")) == "3"
+
+
+def test_group_of_list():
+    rt = _rt()
+    out = fmt(rt.eval_str('(group (list 1 "ab" 1 [1 2] "ab" [1 2]))'))
+    assert "1: [0 2]" in out
+    assert "ab: [1 4]" in out
+    assert "[1 2]: [3 5]" in out
+
+
+def test_group_vector_unchanged():
+    rt = _rt()
+    out = fmt(rt.eval_str("(group [3 1 3 1 2])"))
+    assert "3: [0 2]" in out and "1: [1 3]" in out and "2: [4]" in out
+
+
+def test_pmap_semantics():
+    rt = _rt()
+    assert fmt(rt.eval_str("(pmap (fn [x] (* x x)) [1 2 3 4 5])")) \
+        == "[1 4 9 16 25]"
+    assert fmt(rt.eval_str("(pmap + [1 2 3] [10 20 30])")) \
+        == "[11 22 33]"
+    # order preserved across worker chunks
+    assert fmt(rt.eval_str("(pmap (fn [x] (neg x)) (til 20))")) == \
+        fmt(rt.eval_str("(map (fn [x] (neg x)) (til 20))"))
+
+
+def test_pmap_lambda_with_globals():
+    rt = _rt()
+    rt.eval_str("(set base 100)")
+    assert fmt(rt.eval_str("(pmap (fn [x] (+ x base)) [1 2 3])")) \
+        == "[101 102 103]"
+
+
+def test_dev_grouped_host():
+    rt = _rt()
+    rt.eval_str("(set t (table [k v] (list [1 1 1 2 2] "
+                "[2.0 4.0 6.0 5.0 5.0])))")
+    out = fmt(rt.eval_str("(select {d: (dev v) from: t by: k})"))
+    # std([2,4,6]) = 1.633, std([5,5]) = 0
+    assert "1.63" in out and "0" in out
