@@ -26,8 +26,16 @@ def main(argv=None):
             i += 1
         elif a == "-c" and i + 1 < len(argv):
             i += 2  # core count: XLA owns threading; accepted for parity
-        elif a == "-t" and i + 1 < len(argv):
-            i += 2  # timeit runs: handled by (timeit ...) builtin
+        elif a == "-t":
+            # activate the per-query phase profiler (the reference's
+            # timeit span recorder, chrono.h:62-81); an optional
+            # numeric level argument is accepted for CLI parity
+            from ..core import profiler
+            profiler.enabled = True
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                i += 2
+            else:
+                i += 1
         elif a == "--":
             user_args = argv[i + 1:]
             break

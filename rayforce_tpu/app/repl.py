@@ -79,12 +79,37 @@ def repl(rt, server=None):
         if not src.strip():
             continue
         try:
+            from ..core import profiler
+            if profiler.enabled:
+                profiler.reset()
             result = rt.eval_str(src)
             if result is not None and result.t != -T.NULL:
                 print(fmt.format_obj(result, 0, None, 1))
+            if profiler.enabled:
+                rep = profiler.report()
+                if rep:
+                    print(rep, file=sys.stderr)
         except SystemExit:
             raise
         except RayError as e:
             print(f"'{err_msg(e)}", file=sys.stderr)
+            _print_span(src, getattr(e, "span", None))
         except Exception as e:
             print(f"'error: {e}", file=sys.stderr)
+
+
+def _print_span(src: str, span):
+    """Underline the failing subexpression (the reference's nfo-span
+    error rendering, app/repl.c:50-78)."""
+    if not span:
+        return
+    ln, c0, c1 = span
+    lines = src.split("\n")
+    if not (0 <= ln < len(lines)):
+        return
+    text = lines[ln]
+    width = max(int(c1) - int(c0), 1)
+    print(f"  {text}", file=sys.stderr)
+    print("  " + " " * int(c0) + "^" * min(width, max(len(text) -
+                                                      int(c0), 1)),
+          file=sys.stderr)

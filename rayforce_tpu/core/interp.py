@@ -141,6 +141,14 @@ class Interp:
         return x if is_aggr else collect_lazy(x)
 
     def eval_list(self, o: Obj) -> Obj:
+        try:
+            return self._eval_list(o)
+        except RayError as e:
+            if e.span is None and isinstance(o.meta, dict):
+                e.span = o.meta.get("span")
+            raise
+
+    def _eval_list(self, o: Obj) -> Obj:
         items = o.v
         if not items:
             return NULL_OBJ

@@ -528,6 +528,7 @@ class Parser:
         return vector(vec_t, vals)
 
     def parse_list(self):
+        span0 = (self.line, self.col)
         self.advance_char(1)  # '('
         tok = self.next_token()
         # lambda special form
@@ -557,7 +558,14 @@ class Parser:
             tok = self.next_token()
         if not items:
             return NULL_OBJ
-        return list_(items)
+        node = list_(items)
+        # nfo span (reference parse.c:45-61 registers every node in the
+        # nfo map; here call nodes carry (line, col_start, col_end) so
+        # runtime errors can underline the failing subexpression)
+        node.meta = {"span": (span0[0], span0[1],
+                              self.col if self.line == span0[0]
+                              else span0[1] + 1)}
+        return node
 
     def parse_dict(self):
         self.advance_char(1)  # '{'

@@ -149,36 +149,6 @@ def int_limb_weights(arr, null_val, lo: int | None, hi: int | None):
     return limbs, nulls.astype(jnp.float32), bias
 
 
-F64_LIMBS = 7   # 53-bit fixed-point mantissa -> 7 x 8-bit limbs
-
-
-def f64_fixed_scale(lo: float, hi: float):
-    """Power-of-two scale mapping [lo, hi] onto [0, 2^53): group sums
-    via integer limb matmuls then carry error <= N * 2^-52 * span —
-    BETTER than sequential f64 summation (and far better than this
-    device's emulated-f64 adds). Returns the exponent k (S = 2^k), or
-    None when the range is unusable."""
-    if not (np.isfinite(lo) and np.isfinite(hi)) or hi < lo:
-        return None
-    span = max(hi - lo, 5e-324)
-    k = 52 - int(np.ceil(np.log2(span))) if span > 0 else 52
-    if not -1000 <= k <= 1000:
-        return None
-    return k
-
-
-def f64_fixed_weights(arr, lo: float, k: int):
-    """NaN-skipping fixed-point quantization of f64 into 8-bit limb
-    f32 weights: q = round((v - lo) * 2^k) in [0, 2^53)."""
-    nulls = jnp.isnan(arr)
-    S = float(2.0 ** k)
-    q = jnp.round((jnp.where(nulls, lo, arr) - lo) * S)
-    q = jnp.maximum(q, 0.0).astype(jnp.int64).astype(jnp.uint64)
-    limbs = [((q >> (LIMB_BITS * i)) & LIMB_MASK).astype(jnp.float32)
-             for i in range(F64_LIMBS)]
-    return limbs
-
-
 def recombine_limbs(limb_sums: list[np.ndarray], bias: int,
                     counts: np.ndarray, null_counts: np.ndarray):
     """Host-side exact recombination of per-group limb sums (f64,

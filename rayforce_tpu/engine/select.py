@@ -265,7 +265,6 @@ def _build_plan(src, outs, where_ast, by_ast):
     # per-column requirements (deduped by compiled-expression identity)
     need_nullcnt = set()
     need_limbs = {}        # cid -> (lo, hi) stats or (None, None)
-    need_fixed = {}        # cid -> (lo, k): f64 fixed-point sums
     need_fsum = set()      # f64 sums via the sort path (no stats)
     need_min = set()
     need_max = set()
@@ -295,22 +294,12 @@ def _build_plan(src, outs, where_ast, by_ast):
                 else:
                     need_limbs[cid] = (None, None)
             else:
-                # fixed-point matmul only pays off mid-cardinality:
-                # each extra task costs ~n_cells*rows MXU work, vs a
-                # ~20ms doubling-sum riding the (always-needed) sort
-                k = None
-                if G.SMALL_N < n_codes <= (1 << 14) and \
-                        a.meta["plain_col"] and \
-                        a.inner.cols[0].col.t == T.F64:
-                    try:
-                        lo, hi = dev.column_range(a.inner.cols[0].col)
-                        k = G.f64_fixed_scale(lo, hi)
-                    except Exception:
-                        k = None
-                if k is not None:
-                    need_fixed[cid] = (lo, k)
-                else:
-                    need_fsum.add(cid)
+                # f64 sums via the exact bcast-scan accumulator (this
+                # path only runs for n_codes <= SMALL_N since
+                # engine/sortagg.py took over mid-cardinality; the old
+                # fixed-point-quantization task — a rounding hazard
+                # near range edges — is gone with it)
+                need_fsum.add(cid)
         elif a.name in ("min", "max"):
             if may_null(a):
                 need_nullcnt.add(cid)
@@ -414,11 +403,6 @@ def _build_plan(src, outs, where_ast, by_ast):
             limbs, _nw, _b = G.int_limb_weights(arrs[cid], nv, lo, hi)
             for i, lb in enumerate(limbs):
                 tasks.append((f"limb{cid}_{i}", lb))
-        for cid in sorted(need_fixed):
-            flo, fk = need_fixed[cid]
-            limbs = G.f64_fixed_weights(arrs[cid], flo, fk)
-            for i, lb in enumerate(limbs):
-                tasks.append((f"flimb{cid}_{i}", lb))
 
         dense = G.matmul_tasks_scan(codes, [w for _, w in tasks],
                                     NC + 1, rows_local)
@@ -595,16 +579,7 @@ def _build_plan(src, outs, where_ast, by_ast):
             elif a.name == "med":
                 P.add(lane, agg_raw[f"med{cid}"][ordi])
             elif rt == T.F64:   # f64 sum / avg
-                if cid in need_fixed:
-                    flo, fk = need_fixed[cid]
-                    tot = jnp.zeros(NC, jnp.float64)
-                    for i in range(G.F64_LIMBS):
-                        tot = tot + mm[f"flimb{cid}_{i}"] * float(
-                            1 << (G.LIMB_BITS * i))
-                    e = eff(cid)
-                    s = tot[ordi] * float(2.0 ** -fk) + e * flo
-                else:
-                    s = agg_raw[f"fsum{cid}"][ordi]
+                s = agg_raw[f"fsum{cid}"][ordi]
                 if a.name == "avg":
                     e = eff(cid)
                     s = jnp.where(e == 0, jnp.float64(np.nan), s / e)
@@ -716,9 +691,11 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
            _fingerprint(where_ast) if where_ast is not None else "",
            _fingerprint(by_ast) if by_ast is not None else "",
            tuple((sid, _fingerprint(ast)) for sid, ast in outs))
+    from ..core import profiler as _prof
     plan = _plan_cache.get(key)
     if plan is None:
         plan = _build_plan(src, outs, where_ast, by_ast)
+        _prof.tick("device: build plan")
         if plan is None:
             _plan_cache[key] = "unsupported"
             return None

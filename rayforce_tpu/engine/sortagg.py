@@ -565,9 +565,12 @@ def run(plan: _SAPlan):
         # a previous run hit a straggler: this data needs the exact
         # plan — go straight to it (don't pay the head attempt again)
         return run(plan.fallback)
+    from ..core import profiler as _prof
     cols = [dev.dev_col(c) for c in plan.col_objs]
     outs = plan.fn(*cols)
+    _prof.tick("device: dispatch")
     scalars = jax.device_get(outs[0])
+    _prof.tick("device: execute+sync")
     ng, straggler = int(scalars[0]), int(scalars[1])
     if straggler and not plan.exact:
         plan.fallback = plan._rebuild()

@@ -80,3 +80,45 @@ def test_dev_grouped_host():
     out = fmt(rt.eval_str("(select {d: (dev v) from: t by: k})"))
     # std([2,4,6]) = 1.633, std([5,5]) = 0
     assert "1.63" in out and "0" in out
+
+
+def test_error_span_recorded():
+    """Runtime errors carry the failing subexpression's source span
+    (the reference nfo discipline, parse.c:45-61); the REPL renders an
+    underline from it (app/repl.py _print_span)."""
+    from rayforce_tpu.core.errors import RayError
+    from rayforce_tpu.app.repl import _print_span
+    import io, sys as _s
+    rt = _rt()
+    src = '(+ 1 (sum "abc"))'
+    try:
+        rt.eval_str(src)
+        assert False, "should have raised"
+    except RayError as e:
+        assert e.span is not None
+        ln, c0, c1 = e.span
+        assert ln == 0 and src[c0] == "(" and "sum" in src[c0:c1]
+        old = _s.stderr
+        _s.stderr = cap = io.StringIO()
+        try:
+            _print_span(src, e.span)
+        finally:
+            _s.stderr = old
+        out = cap.getvalue()
+        assert "^^^" in out and '(sum "abc")' in out
+
+
+def test_profiler_spans():
+    from rayforce_tpu.core import profiler
+    profiler.enabled = True
+    try:
+        profiler.reset()
+        rt = _rt()
+        rt.eval_str("(set t (table [k v] (list [1 2 1] [1 2 3])))")
+        profiler.reset()
+        rt.eval_str("(select {s: (sum v) from: t by: k})")
+        labels = [l for l, _ in profiler.spans()]
+        assert any("select" in l for l in labels)
+        assert profiler.report()
+    finally:
+        profiler.enabled = False
