@@ -283,6 +283,32 @@ def build_env(interp_holder: dict) -> Env:
     R("meta", U, misc.ray_meta)
     R("system", U, _fn_system)
     R("loadfn", V, _fn_loadfn)
+
+    # kdb+ wire-protocol bridge (ext/kdb.py, the raykx analogue)
+    def v_kopen(args):
+        from ..ext import kdb
+        if not args or args[0].t != T.C8:
+            raise RayError("arity", 'kopen needs "host:port"')
+        user = str_of(args[1]) if len(args) > 1 and \
+            args[1].t == T.C8 else ""
+        return mk_i64(kdb.kopen(interp().handles, str_of(args[0]),
+                                user))
+
+    def v_kwrite(args):
+        from ..ext import kdb
+        if len(args) != 2 or args[0].t != -T.I64:
+            raise RayError("arity", "kwrite needs handle and message")
+        return kdb.kwrite(interp().handles, int(args[0].v), args[1])
+
+    def v_kclose(args):
+        if len(args) != 1 or args[0].t != -T.I64:
+            raise RayError("arity", "kclose needs a handle")
+        interp().handles.close(int(args[0].v))
+        return NULL_OBJ
+
+    R("kopen", V, v_kopen)
+    R("kwrite", V, v_kwrite)
+    R("kclose", V, v_kclose)
     R("os-get-var", U, _fn_os_get)
     R("unify", U, compose.ray_unify)
     R("raze", U, compose.ray_raze)

@@ -4,14 +4,19 @@
 The reference's epoll/kqueue/IOCP reactor maps to a selectors-based loop on
 the host CPU; queries dispatch into the (single) engine, whose heavy
 kernels run on the TPU. User hooks `.z.po` / `.z.pc` fire on connection
-open/close (ipc.c:195-219); the current handle id is exposed as `.z.w`.
-"""
+open/close (ipc.c:195-219); the current handle id is exposed as `.z.w`
+(saved/restored around each request, so nested re-entrant service keeps
+it correct) and is itself a writable ipc handle — server-side code can
+`(write .z.w msg)` to sync-call the requesting client back over the same
+connection (the reference's poll_block_on discipline, ipc.c:502-524).
+
+Frames are parsed from a PER-CONNECTION receive buffer: a slow client
+delivering a message in pieces never blocks the reactor (the reference's
+rx buffer state machines, poll.h:189-219)."""
 from __future__ import annotations
 
 import selectors
 import socket
-import struct
-import threading
 
 import numpy as np
 
@@ -21,7 +26,7 @@ from ..core.obj import Obj, NULL_OBJ, str_of
 from ..core.errors import RayError, err_msg
 from ..core.obj import string
 from . import protocol as proto
-
+from .client import Handle
 
 class IpcServer:
     def __init__(self, runtime, port: int, host: str = "0.0.0.0"):
@@ -31,7 +36,7 @@ class IpcServer:
         self.sel = selectors.DefaultSelector()
         self.listener = None
         self.handles: dict[int, socket.socket] = {}
-        self.next_handle = 3  # fds 0-2 are stdio, like the reference
+        self.rxbuf: dict[int, bytearray] = {}
         self.running = False
 
     # -- user hooks (.z.po / .z.pc, ipc.c:195) --------------------------
@@ -62,28 +67,66 @@ class IpcServer:
             conn.close()
             return
         conn.sendall(bytes([proto.VERSION]))
-        h = self.next_handle
-        self.next_handle += 1
+        # the connection registers in the INTERPRETER's handle registry
+        # too: server-side code can (write h ...) to any client
+        h = self.rt.interp.handles.add(Handle("ipc", sock=conn))
         self.handles[h] = conn
+        self.rxbuf[h] = bytearray()
         self.sel.register(conn, selectors.EVENT_READ,
                           lambda s, h=h: self._on_data(s, h))
         self._hook(".z.po", h)
 
     def _on_data(self, conn, handle):
-        ip = self.rt.interp
         try:
-            msgtype, obj = proto.read_msg(conn, ip.env)
+            data = conn.recv(1 << 16)
         except (ConnectionError, OSError):
             self._close(conn, handle)
             return
-        # expose current handle as .z.w
-        ip.globals[symbols.intern(".z.w")] = Obj(-T.I64, np.int64(handle))
+        if not data:
+            self._close(conn, handle)
+            return
+        buf = self.rxbuf[handle]
+        buf += data
+        # drain every COMPLETE frame; partial frames stay buffered and
+        # never block the reactor
+        while True:
+            if len(buf) < 16:
+                return
+            prefix, _v, _f, _e, msgtype, size = proto.HEADER.unpack(
+                bytes(buf[:16]))
+            if prefix != proto.serde.SERDE_PREFIX:
+                self._close(conn, handle)
+                return
+            if len(buf) < 16 + size:
+                return
+            payload = bytes(buf[16:16 + size])
+            del buf[:16 + size]
+            self._process(conn, handle, msgtype, payload)
+
+    def _process(self, conn, handle, msgtype, payload):
+        ip = self.rt.interp
         try:
-            result = self._eval_msg(obj)
-        except RayError as e:
-            result = string("'" + err_msg(e))
-        except Exception as e:  # engine bug: surface, don't kill the loop
-            result = string(f"'error: {e}")
+            obj = proto.serde.de_payload(payload, ip.env)
+        except Exception:
+            self._close(conn, handle)
+            return
+        # .z.w: save/restore per request (nested/interleaved service
+        # must not clobber the outer handle)
+        zw = symbols.intern(".z.w")
+        prev = ip.globals.get(zw)
+        ip.globals[zw] = Obj(-T.I64, np.int64(handle))
+        try:
+            try:
+                result = self._eval_msg(obj)
+            except RayError as e:
+                result = string("'" + err_msg(e))
+            except Exception as e:  # engine bug: surface, don't die
+                result = string(f"'error: {e}")
+        finally:
+            if prev is None:
+                ip.globals.pop(zw, None)
+            else:
+                ip.globals[zw] = prev
         if msgtype == proto.MSG_SYNC:
             try:
                 conn.sendall(proto.pack_msg(result, proto.MSG_RESP))
@@ -105,7 +148,20 @@ class IpcServer:
             pass
         conn.close()
         self.handles.pop(handle, None)
+        self.rxbuf.pop(handle, None)
+        self.rt.interp.handles.handles.pop(handle, None)
         self._hook(".z.pc", handle)
+
+    def stop(self):
+        self.running = False
+        if self.listener is not None:
+            try:
+                self.sel.unregister(self.listener)
+            except Exception:
+                pass
+            self.listener.close()
+        for h, c in list(self.handles.items()):
+            self._close(c, h)
 
     def run_once(self, timeout=0.1):
         for key, _ in self.sel.select(timeout):
@@ -117,11 +173,3 @@ class IpcServer:
             # fire due timers registered via (timer ...)
             from . import timers
             timers.fire_due(self.rt)
-
-    def stop(self):
-        self.running = False
-        if self.listener:
-            self.sel.unregister(self.listener)
-            self.listener.close()
-        for h, c in list(self.handles.items()):
-            self._close(c, h)

@@ -62,3 +62,133 @@ def test_zpo_hook():
         stop.set()
         t.join(timeout=2)
         server.stop()
+
+
+def _spin_server(srv_rt, port=0):
+    from rayforce_tpu.ipc.server import IpcServer
+    server = IpcServer(srv_rt, port, host="127.0.0.1")
+    server.start()
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            server.run_once(0.05)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    return server, server.listener.getsockname()[1], stop, t
+
+
+def test_async_message():
+    """MSG_ASYNC: fire-and-forget evaluation, no response frame
+    (ipc.c msgtype async=0)."""
+    srv_rt = Runtime()
+    server, port, stop, t = _spin_server(srv_rt)
+    try:
+        cli = Runtime()
+        h = int(cli.eval_str(f'(hopen "127.0.0.1:{port}")').v)
+        from rayforce_tpu.ipc import client as C
+        from rayforce_tpu.core.obj import string
+        C.write_async(cli.interp.handles, h, string("(set ax 99)"))
+        # the next sync call observes the async effect (ordered pipe)
+        r = cli.eval_str(f'(write {h} "ax")')
+        assert cli.format_result(r) == "99"
+    finally:
+        stop.set(); t.join(timeout=2); server.stop()
+
+
+def test_reentrant_sync_rpc():
+    """Two engines sync-calling each other over ONE connection: the
+    server's handler sync-calls BACK via (write .z.w ...) while the
+    client is blocked in its own (write ...) — the client serves the
+    nested request re-entrantly (reference ipc.c:502-524
+    poll_block_on)."""
+    srv_rt = Runtime()
+    server, port, stop, t = _spin_server(srv_rt)
+    try:
+        cli = Runtime()
+        cli.eval_str("(set myval 7)")
+        h = int(cli.eval_str(f'(hopen "127.0.0.1:{port}")').v)
+        # server evaluates (write .z.w "(+ myval 1)") -> nested sync
+        # request to the client -> client evals in ITS engine -> 8
+        r = cli.eval_str(
+            f'(write {h} "(write .z.w \\"(+ myval 1)\\")")')
+        assert cli.format_result(r) == "8"
+    finally:
+        stop.set(); t.join(timeout=2); server.stop()
+
+
+def test_zw_saved_restored():
+    """.z.w restores after each request (round-1 gap: it leaked)."""
+    srv_rt = Runtime()
+    server, port, stop, t = _spin_server(srv_rt)
+    try:
+        cli = Runtime()
+        h = int(cli.eval_str(f'(hopen "127.0.0.1:{port}")').v)
+        r = cli.eval_str(f'(write {h} ".z.w")')
+        assert cli.format_result(r) == "3"
+        from rayforce_tpu.core import symbols
+        assert symbols.intern(".z.w") not in srv_rt.interp.globals
+    finally:
+        stop.set(); t.join(timeout=2); server.stop()
+
+
+def test_partial_frames_do_not_block():
+    """A slow client trickling a frame byte-by-byte must not stall the
+    reactor: a second, fast client gets served in between (the per-
+    connection rx buffers of poll.h:189-219)."""
+    import socket as S
+    from rayforce_tpu.ipc import protocol as proto
+    from rayforce_tpu.core.obj import string
+    srv_rt = Runtime()
+    server, port, stop, t = _spin_server(srv_rt)
+    try:
+        slow = S.create_connection(("127.0.0.1", port))
+        slow.sendall(bytes([proto.VERSION])); slow.recv(1)
+        frame = proto.pack_msg(string("(set slowdone 1)"),
+                               proto.MSG_SYNC)
+        slow.sendall(frame[:7])       # partial header, stall here
+
+        cli = Runtime()
+        h = int(cli.eval_str(f'(hopen "127.0.0.1:{port}")').v)
+        r = cli.eval_str(f'(write {h} "(+ 20 22)")')   # fast client OK
+        assert cli.format_result(r) == "42"
+
+        slow.sendall(frame[7:])       # complete the slow frame
+        deadline = time.time() + 3
+        from rayforce_tpu.core import symbols
+        while time.time() < deadline:
+            if symbols.intern("slowdone") in srv_rt.interp.globals:
+                break
+            time.sleep(0.02)
+        assert symbols.intern("slowdone") in srv_rt.interp.globals
+        slow.close()
+    finally:
+        stop.set(); t.join(timeout=2); server.stop()
+
+
+def test_two_messages_one_packet():
+    """Back-to-back frames in a single TCP segment both process."""
+    import socket as S
+    from rayforce_tpu.ipc import protocol as proto
+    from rayforce_tpu.core.obj import string
+    srv_rt = Runtime()
+    server, port, stop, t = _spin_server(srv_rt)
+    try:
+        c = S.create_connection(("127.0.0.1", port))
+        c.sendall(bytes([proto.VERSION])); c.recv(1)
+        two = proto.pack_msg(string("(set a1 1)"), proto.MSG_ASYNC) + \
+            proto.pack_msg(string("(set a2 2)"), proto.MSG_ASYNC)
+        c.sendall(two)
+        from rayforce_tpu.core import symbols
+        deadline = time.time() + 3
+        while time.time() < deadline:
+            g = srv_rt.interp.globals
+            if symbols.intern("a1") in g and symbols.intern("a2") in g:
+                break
+            time.sleep(0.02)
+        g = srv_rt.interp.globals
+        assert symbols.intern("a1") in g and symbols.intern("a2") in g
+        c.close()
+    finally:
+        stop.set(); t.join(timeout=2); server.stop()

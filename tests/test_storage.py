@@ -113,3 +113,84 @@ def test_csv_roundtrip(rt, tmp):
     p2 = os.path.join(tmp, "u.csv")
     rt.eval_str(f'(write-csv "{p2}" u)')
     assert open(p2).read().splitlines()[0] == "a,b,s"
+
+
+def test_large_vector_mmap(rt, tmp):
+    """Multi-MB vector file round trip: reads come back via np.memmap
+    (zero-copy, the reference's mmap-backed objects rayforce.c:2884)."""
+    import numpy as np
+    from rayforce_tpu.storage import binary
+    from rayforce_tpu.core.obj import Obj, to_np
+    from rayforce_tpu.core import types as T
+    p = os.path.join(tmp, "big.vec")
+    a = np.arange(3_000_000, dtype=np.int64)
+    binary.set_path(p, Obj(T.I64, a))
+    r = binary.get_path(p)
+    b = to_np(r)
+    assert isinstance(b, np.memmap) or b.base is not None
+    assert len(b) == 3_000_000
+    assert b[0] == 0 and b[-1] == 2_999_999
+    assert int(b[1_234_567]) == 1_234_567
+
+
+def test_corrupt_vector_file_errors(rt, tmp):
+    from rayforce_tpu.storage import binary
+    from rayforce_tpu.core.errors import RayError
+    import pytest as _pt
+    p = os.path.join(tmp, "bad.vec")
+    with open(p, "wb") as f:
+        f.write(b"\x00\x01garbage")     # bogus header
+    with _pt.raises((RayError, Exception)):
+        binary.get_path(p)
+    p2 = os.path.join(tmp, "trunc.vec")
+    import numpy as np
+    from rayforce_tpu.core.obj import Obj
+    from rayforce_tpu.core import types as T
+    binary.set_path(p2, Obj(T.I64, np.arange(100, dtype=np.int64)))
+    with open(p2, "r+b") as f:
+        f.truncate(40)                  # body shorter than header says
+    with _pt.raises((RayError, Exception)):
+        binary.get_path(p2)
+
+
+def test_parted_schema_mismatch_errors(rt, tmp):
+    from rayforce_tpu.core.errors import RayError
+    import pytest as _pt
+    db = os.path.join(tmp, "baddb")
+    rt.eval_str("(set ta (table [x] (list [1 2])))")
+    rt.eval_str("(set tb (table [y] (list [3 4])))")
+    rt.eval_str(f'(set-parted "{db}" "2024.01.01" "q" ta)')
+    rt.eval_str(f'(set-parted "{db}" "2024.01.02" "q" tb)')
+    with _pt.raises(RayError):
+        rt.eval_str(f'(set pt (get-parted "{db}" \'q))')
+
+
+def test_splayed_sym_reenumeration_merge(rt, tmp):
+    """Writing a second splayed table against a PRE-EXISTING shared sym
+    file must MERGE domains (existing ids keep their positions; new
+    symbols append — io.c:1230-1260), so earlier enum columns stay
+    valid."""
+    from rayforce_tpu.storage import binary
+    from rayforce_tpu.core.obj import to_np
+    from rayforce_tpu.core import symbols as S
+    db = os.path.join(tmp, "sdb")
+    os.makedirs(db)
+    symf = os.path.join(db, "sym")
+    rt.eval_str("(set t1 (table [s] (list [aa bb])))")
+    rt.eval_str("(set t2 (table [s] (list [cc bb dd])))")
+    from rayforce_tpu.storage import splayed
+    splayed.set_splayed(os.path.join(db, "p1"), 
+                        rt.interp.globals[S.intern("t1")],
+                        symfile=symf, interp=rt.interp)
+    dom1 = [S.name_of(int(x)) for x in to_np(binary.get_path(symf))]
+    splayed.set_splayed(os.path.join(db, "p2"),
+                        rt.interp.globals[S.intern("t2")],
+                        symfile=symf, interp=rt.interp)
+    dom2 = [S.name_of(int(x)) for x in to_np(binary.get_path(symf))]
+    assert dom2[:len(dom1)] == dom1          # old ids preserved
+    assert set(dom2) >= {"aa", "bb", "cc", "dd"}
+    # earlier partition still reads correctly after the merge
+    r1 = splayed.get_splayed(os.path.join(db, "p1"), interp=rt.interp)
+    col = r1.v[1][0]
+    from rayforce_tpu.core.fmt import format_top as fmt2
+    assert "aa" in fmt2(col) and "bb" in fmt2(col)
