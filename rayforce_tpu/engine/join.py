@@ -134,6 +134,24 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
         lcode = _pack_codes(lkeys, metas)
         rcode = _pack_codes(rkeys, metas)
     n_l, n_r = int(lcode.shape[0]), int(rcode.shape[0])
+    m = dev.mesh()
+    if m is not None and mode == "first" and ltime is None:
+        # mesh mode: broadcast-build probe fanned over the chips — the
+        # row-sharded left side probes a replicated right key column
+        # (parallel/dist.py:dist_left_probe; the reference's HT
+        # build+probe, index.c:2886, with the build side broadcast)
+        from ..parallel import dist
+        axis = m.axis_names[0]
+        n_dev = m.shape[axis]
+        pad = (-n_l) % n_dev
+        lp = jnp.concatenate(
+            [lcode, jnp.full(pad, jnp.int64(-1))]) if pad else lcode
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        lp = jax.device_put(lp, NamedSharding(m, P(axis)))
+        rid, has = dist.dist_left_probe(m)(lp, rcode)
+        rid = jnp.asarray(rid).reshape(-1)[:n_l]
+        has = jnp.asarray(has).reshape(-1)[:n_l]
+        return jnp.where(has, rid, jnp.int64(T.NULL_I64))
     f = _match_kernel(n_l, n_r, mode, ltime is not None)
     if ltime is not None:
         return f(lcode, rcode, dev.dev_col(ltime), dev.dev_col(rtime))

@@ -336,3 +336,46 @@ def test_mesh_wide_select_parity(mesh8):
         dev._mesh_state.clear()
         dev._mesh_state.update(old_state)
         dev._cfg["threshold"] = old_thresh
+
+
+def test_mesh_join_parity(mesh8):
+    """End-to-end mesh-mode left/inner join through the interpreter:
+    the broadcast-build probe fans over the chips and must match the
+    host join exactly."""
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import device as dev
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    old_state = dict(dev._mesh_state)
+    old_thresh = dev._cfg["threshold"]
+    os.environ["RAYFORCE_MESH"] = "8"
+    dev._mesh_state.update({"mesh": None, "checked": False})
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        assert dev.mesh() is not None
+        rng = np.random.default_rng(31)
+        n = 8 * 600 + 3
+        lk = rng.integers(0, 400, n).astype(np.int64)
+        lv = rng.uniform(0, 10, n)
+        rk = rng.permutation(800)[:300].astype(np.int64)
+        rw = rng.integers(0, 1000, 300).astype(np.int64)
+        rt = Runtime()
+        rt.interp.globals[symbols.intern("l")] = table(
+            vec_sym(["k", "v"]), [Obj(T.I64, lk), Obj(T.F64, lv)])
+        rt.interp.globals[symbols.intern("r")] = table(
+            vec_sym(["k", "w"]), [Obj(T.I64, rk), Obj(T.I64, rw)])
+        for q in ["(left-join [k] l r)", "(inner-join [k] l r)"]:
+            dev.set_enabled(True)
+            s_dev = fmt(rt.eval_str(q))
+            dev.set_enabled(False)
+            s_host = fmt(rt.eval_str(q))
+            dev.set_enabled(True)
+            assert s_dev == s_host, q
+    finally:
+        os.environ.pop("RAYFORCE_MESH", None)
+        dev._mesh_state.clear()
+        dev._mesh_state.update(old_state)
+        dev._cfg["threshold"] = old_thresh
