@@ -41,26 +41,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _force_device(res):
-    """Block until result columns are materialized in HBM (no host
-    copy; DevPendingSliced lanes are outputs of the already-executed
-    dispatch)."""
-    import jax
-    if res is None or res.t != 98:   # TABLE
-        return
-    _, cols_ = res.v
-    bufs = []
-    for c in cols_:
-        p = c.pending() if hasattr(c, "pending") else None
-        if p is not None:
-            full = getattr(p, "_full", None)
-            bufs.append(full if full is not None else p.arr)
-    if bufs:
-        # all lanes come from the one query executable, whose
-        # completion the engine already synced on (the group-count
-        # scalar fetch); confirm with ONE buffer instead of paying a
-        # relay ready-round-trip per lane
-        jax.block_until_ready(bufs[0])
+# NOTE on group-by timing: no extra block_until_ready is needed (or
+# taken) after eval. The group-by engines are SYNCHRONOUS by
+# construction: they fetch the group-count scalar from the same
+# executable that computes every output lane, and XLA executables
+# complete atomically — when eval_str returns, the result columns are
+# materialized in HBM. An extra block_until_ready on a remote buffer
+# costs a ~28 ms relay round trip even when the buffer is already
+# complete, which would measure the harness link, not the engine.
+# (Joins differ: their column gathers are lazy thunks, so the join
+# loop below explicitly forces and blocks on them.)
 
 
 def main():
@@ -148,12 +138,10 @@ def main():
     for name, q, baseline_ms, iters in queries:
         try:
             r = rt.eval_str(q)          # compile/plan warmup
-            _force_device(r)
             times = []
             for _ in range(iters):
                 t0 = time.perf_counter()
                 r = rt.eval_str(q)
-                _force_device(r)
                 times.append((time.perf_counter() - t0) * 1000)
             best = min(times)
             stats[name] = {"min": round(best, 1),
