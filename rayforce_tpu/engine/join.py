@@ -248,3 +248,39 @@ def compact_ids(rids):
     lids = lids_full[:n_match]
     rsel = _k_take(rids, lids)
     return lids, rsel, n_match
+
+
+@jax.jit
+def _k_inner_carry(rids, *cols):
+    n = rids.shape[0]
+    matched = rids != np.int64(T.NULL_I64)
+    nm = matched.sum().astype(jnp.int64)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(matched, iota, iota + np.int32(1 << 30))
+    sorted_ = jax.lax.sort([key, rids] + list(cols), num_keys=1,
+                           is_stable=False)
+    return (jnp.reshape(nm, (1,)),) + tuple(sorted_[1:])
+
+
+def inner_carry(rids, carry_cols):
+    """Inner-join row compaction WITHOUT per-column gathers: a
+    full-width gather costs ~90-175 ms on this TPU (TPU_NOTES.md), so
+    compacting k left-side columns by gather costs k*~100 ms. Instead
+    ONE unstable sort keyed on (matched ? left-pos : BIG) carries the
+    matched right ids and every left-side column to the front in left
+    order (~12 ms per carried operand). Returns (n_match, rsel_lane,
+    col_lanes) — capacity-n lanes whose first n_match rows are live."""
+    if int(rids.shape[0]) >= (1 << 30):
+        return None
+    arrs = [dev.dev_col(c) for c in carry_cols]
+    outs = _k_inner_carry(rids, *arrs)
+    n_match = int(np.asarray(outs[0])[0])
+    return n_match, outs[1], list(outs[2:])
+
+
+def sliced_col(lane, n: int, like: Obj) -> Obj:
+    """A capacity lane as a typed column of logical length n."""
+    from ..core.obj import DevPendingSliced
+    o = Obj(like.t, DevPendingSliced(lane, n), domain=like.domain)
+    o.meta = {}
+    return o

@@ -675,6 +675,9 @@ _warned = [False]
 
 
 def warn_fallback(e):
+    from ..core import log
+    log.debug("device path fallback: %s: %s", type(e).__name__,
+              str(e)[:200])
     if not _warned[0]:
         _warned[0] = True
         print(f"rayforce-tpu: device select path disabled by error "

@@ -27,6 +27,7 @@ from ..core.errors import RayError, err_msg
 from ..core.obj import string
 from . import protocol as proto
 from .client import Handle
+from ..core import log
 
 class IpcServer:
     def __init__(self, runtime, port: int, host: str = "0.0.0.0"):
@@ -74,6 +75,7 @@ class IpcServer:
         self.rxbuf[h] = bytearray()
         self.sel.register(conn, selectors.EVENT_READ,
                           lambda s, h=h: self._on_data(s, h))
+        log.info("ipc: connection %d open", h)
         self._hook(".z.po", h)
 
     def _on_data(self, conn, handle):
@@ -150,6 +152,7 @@ class IpcServer:
         self.handles.pop(handle, None)
         self.rxbuf.pop(handle, None)
         self.rt.interp.handles.handles.pop(handle, None)
+        log.info("ipc: connection %d closed", handle)
         self._hook(".z.pc", handle)
 
     def stop(self):

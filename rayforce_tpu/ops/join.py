@@ -205,6 +205,30 @@ def _try_device_join(keys, lt, rt, lk, rk, mode: str):
 
         out_names = list(to_np(keys)) + [s for s, _k, _c in plan_cols]
         if mode == "inner":
+            # compact matched rows by carrying every left-side column
+            # through ONE sort (a full-width gather is ~90-175 ms on
+            # this TPU; a carried sort operand ~12 ms)
+            carry_cols = list(lk) + [c for _s, k, c in plan_cols
+                                     if k == "left"]
+            carried = ej.inner_carry(rids, carry_cols)
+            if carried is not None:
+                n_match, rsel_lane, lanes = carried
+                rsel = rsel_lane[:n_match]
+                it = iter(lanes)
+                out_cols = [ej.sliced_col(next(it), n_match, c)
+                            for c in lk]
+                for _sid, kind, c in plan_cols:
+                    if kind == "left":
+                        out_cols.append(ej.sliced_col(next(it),
+                                                      n_match, c))
+                    elif kind == "overlay":
+                        out_cols.append(ej.lazy_take_col(c[1], rsel,
+                                                         n_match))
+                    else:
+                        out_cols.append(ej.lazy_take_col(c, rsel,
+                                                         n_match))
+                return table(Obj(T.SYMBOL, np.asarray(
+                    out_names, dtype=np.int64)), out_cols)
             lids, rsel, n_match = ej.compact_ids(rids)
             out_cols = [ej.lazy_take_col(c, lids, n_match) for c in lk]
             for _sid, kind, c in plan_cols:

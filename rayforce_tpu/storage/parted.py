@@ -65,6 +65,8 @@ def get_parted(db: str, tbl_name: str, interp=None) -> Obj:
         if interp is not None:
             interp.globals[symbols.intern("sym")] = dom
 
+    from ..core.progress import Progress
+    prog = Progress(f"load {tbl_name}", len(parts))
     per_part = []
     schema = None
     for p in parts:
@@ -81,7 +83,9 @@ def get_parted(db: str, tbl_name: str, interp=None) -> Obj:
             nm = symbols.name_of(s)
             cols.append(binary.get_path(os.path.join(path, nm)))
         per_part.append(cols)
+        prog.step()
 
+    prog.finish()
     from ..core.obj import ConstPending
     ncols = len(schema)
     out_cols = []
