@@ -551,6 +551,8 @@ def _fn_loadfn(args):
     arity = int(arity_o.v)
     path = str_of(path_o)
     fname = symbols.name_of(int(name_o.v))
+    if path.endswith((".so", ".dylib", ".dll")):
+        return _loadfn_cabi(path, fname, arity)
     if _os.path.exists(path):
         spec = importlib.util.spec_from_file_location(
             "_rf_plugin_" + _os.path.basename(path).replace(".", "_"),
@@ -646,3 +648,83 @@ class Runtime:
 
     def format_result(self, o: Obj) -> str:
         return fmt.format_top(o)
+
+
+def _loadfn_cabi(path: str, fname: str, arity: int):
+    """Bind an exported C-ABI plugin function (the reference's dynlib
+    `obj_p f(obj_p,...)` surface, core/dynlib.c:191; the ABI here is
+    the flat rf_vec view of native/rayforce_plugin.h):
+
+        int f(const rf_vec* args, int32_t nargs, rf_vec* out)
+    """
+    import ctypes
+
+    class RfVec(ctypes.Structure):
+        _fields_ = [("type", ctypes.c_int8),
+                    ("len", ctypes.c_int64),
+                    ("data", ctypes.c_void_p)]
+
+    lib = ctypes.CDLL(path)
+    try:
+        cf = getattr(lib, fname)
+    except AttributeError:
+        raise err_value(f"no symbol {fname} in {path}")
+    cf.restype = ctypes.c_int
+    cf.argtypes = [ctypes.POINTER(RfVec), ctypes.c_int32,
+                   ctypes.POINTER(RfVec)]
+    libc = ctypes.CDLL(None)
+
+    OK = {T.U8, T.I16, T.I32, T.I64, T.F64, T.B8, T.DATE, T.TIME,
+          T.TIMESTAMP}
+
+    def to_vec(o, keep):
+        v = RfVec()
+        if o.t < 0:
+            st = -o.t
+            if st not in OK:
+                raise err_type(f"plugin args must be numeric, got {o.t}")
+            a = np.ascontiguousarray([o.v], dtype=T.DTYPE[st])
+            v.type, v.len = st, -1
+        else:
+            if o.t not in OK:
+                raise err_type(f"plugin args must be numeric, got {o.t}")
+            from .obj import to_np
+            a = np.ascontiguousarray(to_np(o), dtype=T.DTYPE[o.t])
+            v.type, v.len = o.t, len(a)
+        keep.append(a)           # pin the buffer across the call
+        v.data = a.ctypes.data_as(ctypes.c_void_p).value
+        return v
+
+    def from_vec(v):
+        t = int(v.type)
+        if t not in OK:
+            raise err_type(f"plugin returned unsupported type {t}")
+        dt = T.DTYPE[t]
+        n = int(v.len)
+        count = 1 if n < 0 else n
+        buf = ctypes.cast(v.data, ctypes.POINTER(ctypes.c_char))
+        raw = ctypes.string_at(buf, count * np.dtype(dt).itemsize)
+        arr = np.frombuffer(raw, dtype=dt).copy()
+        libc.free(ctypes.c_void_p(v.data))
+        if n < 0:
+            return Obj(-t, arr[0])
+        return Obj(t, arr)
+
+    def call(args_list):
+        keep = []
+        carr = (RfVec * max(len(args_list), 1))(
+            *[to_vec(a, keep) for a in args_list])
+        out = RfVec()
+        rc = cf(carr, len(args_list), ctypes.byref(out))
+        if rc != 0:
+            raise RayError("user", f"plugin {fname} failed ({rc})")
+        return from_vec(out)
+
+    tcode = {1: T.UNARY, 2: T.BINARY}.get(arity, T.VARY)
+    if tcode == T.UNARY:
+        fn = lambda a: call([a])                      # noqa: E731
+    elif tcode == T.BINARY:
+        fn = lambda a, b: call([a, b])                # noqa: E731
+    else:
+        fn = call
+    return Obj(tcode, Builtin(fname, tcode, fn, 0))

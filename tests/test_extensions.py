@@ -5,6 +5,8 @@ never learned the MAPGROUP contract) and CRASHES on a window-join row
 whose window matches nothing; this engine implements both properly.
 These tests pin OUR behavior (not oracle goldens).
 """
+import os
+
 from rayforce_tpu import Runtime
 from rayforce_tpu.core.fmt import format_top as fmt
 
@@ -48,3 +50,26 @@ def test_window_join_empty_window_is_sane():
         "(at (window-join [s ts] (map-left + [-1000 1000] (at l 'ts)) "
         "l r {c: (count p)}) 'c)")
     assert out == "[0]"
+
+
+def test_c_abi_plugin(tmp_path):
+    """Real C shared-library plugin through the rf_vec ABI
+    (native/rayforce_plugin.h; the reference's dynlib surface)."""
+    import shutil
+    import subprocess
+    if shutil.which("cc") is None and shutil.which("gcc") is None:
+        import pytest
+        pytest.skip("no C compiler")
+    cc = shutil.which("cc") or shutil.which("gcc")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "example_plugin.c")
+    so = str(tmp_path / "example_plugin.so")
+    subprocess.run([cc, "-shared", "-fPIC", "-O2", src, "-o", so,
+                    "-I", os.path.join(root, "native")], check=True)
+    from rayforce_tpu import Runtime
+    rt = Runtime()
+    rt.eval_str(f'(set vsum (loadfn "{so}" \'rf_vsum 1))')
+    assert rt.format_result(rt.eval_str("(vsum [1 2 3 40])")) == "46"
+    rt.eval_str(f'(set saxpy (loadfn "{so}" \'rf_saxpy 3))')
+    r = rt.eval_str("(saxpy 2.0 [1.0 2.0] [10.0 20.0])")
+    assert rt.format_result(r) == "[12.00 24.00]"
