@@ -122,3 +122,26 @@ def test_profiler_spans():
         assert profiler.report()
     finally:
         profiler.enabled = False
+
+
+def test_leveled_logging(capsys):
+    from rayforce_tpu.core import log
+    log.set_level("warn")
+    try:
+        log.debug("hidden %d", 1)
+        log.warn("shown %d", 2)
+        err = capsys.readouterr().err
+        assert "hidden" not in err and "shown 2" in err
+        assert "WARN" in err
+    finally:
+        log.set_level(None)
+    log.error("also hidden when disabled")
+    assert "also hidden" not in capsys.readouterr().err
+
+
+def test_progress_noop_without_tty():
+    from rayforce_tpu.core.progress import Progress
+    p = Progress("x", 10)
+    for _ in range(10):
+        p.step()
+    p.finish()   # must not raise or print when stderr isn't a tty
