@@ -202,22 +202,38 @@ def _dst_query(vals, tab, op, li, ri):
 _bound_cache: dict = {}
 
 
-def _boundaries_fn(nl, nr, n_codes, tp, n_pay, pay_dtypes):
+def _boundaries_fn(nl, nr, n_codes, tp, n_pay, pay_dtypes,
+                   pack=None):
     """NOTE on layouts: dynamic gathers of 64-bit (emulated) values
     materialize as f32/u32[n, 2] buffers with (8,128) tiles — a 64x
     padding blowup that OOMs at 10M+ rows. Sorts are layout-safe, so
     aggregate input columns ride this sort as payloads instead of
-    being gathered by the sorted row order afterwards."""
-    key = (nl, nr, n_codes, tp, n_pay, pay_dtypes)
+    being gathered by the sorted row order afterwards.
+
+    `pack` = (tmin, tbits) when (code, biased time) fit one i64 sort
+    key: the unstable packed sorts cost ~2-3x less than the stable
+    multi-key variants at 20M+ rows (TPU_NOTES.md); None keeps the
+    stable multi-key path (e.g. full-range ns timestamps)."""
+    key = (nl, nr, n_codes, tp, n_pay, pay_dtypes, pack)
     if key in _bound_cache:
         return _bound_cache[key]
 
     def fn(lcode, rcode, rt, lo, hi, *pays):
         riota = jnp.arange(nr, dtype=jnp.int32)
-        sorted_r = jax.lax.sort([rcode, rt, riota] + list(pays),
-                                num_keys=2, is_stable=True)
-        src, srt, sr = sorted_r[0], sorted_r[1], sorted_r[2]
-        spays = sorted_r[3:]
+        if pack is not None:
+            tmin, tbits = pack
+            sorted_r = jax.lax.sort(
+                [(rcode << tbits) | (rt - tmin), riota] + list(pays),
+                num_keys=1, is_stable=False)
+            spk, sr = sorted_r[0], sorted_r[1]
+            src = spk >> tbits
+            srt = (spk & ((np.int64(1) << tbits) - 1)) + tmin
+            spays = sorted_r[2:]
+        else:
+            sorted_r = jax.lax.sort([rcode, rt, riota] + list(pays),
+                                    num_keys=2, is_stable=True)
+            src, srt, sr = sorted_r[0], sorted_r[1], sorted_r[2]
+            spays = sorted_r[3:]
         cnt = G.matmul_tasks_scan(
             src.astype(jnp.int32), [jnp.ones(nr, jnp.float32)],
             n_codes + 1, nr)[0].astype(jnp.int64)[:n_codes]
@@ -237,14 +253,26 @@ def _boundaries_fn(nl, nr, n_codes, tp, n_pay, pay_dtypes):
                                 jnp.ones(nl, jnp.int32)])
         eidx = jnp.concatenate([jnp.full(nr, -1, jnp.int32),
                                 jnp.arange(2 * nl, dtype=jnp.int32)])
-        _sc, _st2, _tt, seidx = jax.lax.sort(
-            [codes_all, times_all, ties, eidx], num_keys=3,
-            is_stable=True)
+        if pack is not None:
+            tmin, tbits = pack
+            ekey = (codes_all << (tbits + 2)) | \
+                ((times_all - tmin) << 2) | \
+                (ties + 1).astype(jnp.int64)
+            _ek, seidx = jax.lax.sort([ekey, eidx], num_keys=1,
+                                      is_stable=False)
+        else:
+            _sc, _st2, _tt, seidx = jax.lax.sort(
+                [codes_all, times_all, ties, eidx], num_keys=3,
+                is_stable=True)
         is_right = seidx < 0
         prefix = jnp.cumsum(is_right.astype(jnp.int64))
-        key2 = jnp.where(is_right, jnp.int32(2 * nl), seidx)
-        _k2, pref_by_event = jax.lax.sort(
-            [key2, prefix], num_keys=1, is_stable=True)
+        # unsort events: pack (event id, prefix) into one key — the
+        # prefix fits below bit 36 (nr <= 2^36)
+        key2 = jnp.where(is_right, jnp.int64(2 * nl),
+                         seidx.astype(jnp.int64))
+        upk = (key2 << 36) | prefix
+        upks = jax.lax.sort([upk], num_keys=1, is_stable=False)[0]
+        pref_by_event = upks & ((np.int64(1) << 36) - 1)
         p_lo = pref_by_event[:nl]
         p_hi = pref_by_event[nl:2 * nl]
         p_lo_r = p_lo - 1
@@ -260,9 +288,21 @@ def _boundaries_fn(nl, nr, n_codes, tp, n_pay, pay_dtypes):
         ri = jnp.where(p_hi_r < g_fi, g_fi, jnp.minimum(p_hi_r, g_ti))
         safe_li = jnp.clip(li, 0, max(nr - 1, 0)).astype(jnp.int32)
         safe_ri = jnp.clip(ri, 0, max(nr - 1, 0)).astype(jnp.int32)
-        valid = has_group & (srt[safe_li] <= hi)
+        # window emptiness from the event prefixes alone (the old
+        # per-row time probes srt[li] / srt[ri] were dynamic gathers
+        # of emulated-i64 values — a 64x-padded layout costing ~2 s
+        # per probe at 10M rows):
+        # - tp==1 (closed [lo, hi]): p_hi - p_lo = the group's right
+        #   rows inside the window (both events sit in the group's
+        #   sorted span; tie order places boundary rows correctly);
+        # - tp==0 (prevailing window, li reaches back to the last row
+        #   at-or-before lo): nonempty iff the group has ANY row
+        #   at-or-before hi, i.e. p_hi exceeds the group's base
+        #   prefix g_fi.
         if tp == 1:
-            valid = valid & (srt[safe_ri] >= lo)
+            valid = has_group & (p_hi - p_lo > 0)
+        else:
+            valid = has_group & (p_hi - g_fi > 0)
         ok = valid & (li <= ri)
         return (sr, safe_li, safe_ri, ok) + tuple(spays)
 
@@ -315,6 +355,40 @@ def _k_sum_avg(sv, li, ri, ok, rtype, want_avg):
 # sorts) and look the winning value up at the very end: gathers of
 # 64-bit emulated values explode 64x in padding (see _boundaries_fn),
 # i32 gathers are layout-clean.
+
+@jax.jit
+def _k_rank_nf(sv):
+    """Value ranks of a NULL-FREE column: shared by the min and the
+    max aggregate over the same column (the rank permutation is
+    direction-independent once there are no nulls to re-map)."""
+    n = sv.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _k, order = jax.lax.sort([sv, iota], num_keys=1, is_stable=True)
+    _o, rank = jax.lax.sort([order, iota], num_keys=1, is_stable=True)
+    return rank
+
+
+@jax.jit
+def _k_sorted_vals_nf(sv):
+    return jax.lax.sort([sv], num_keys=1)[0]
+
+
+@partial(jax.jit, static_argnames=("op",))
+def _k_minmax_from_rank(rank, li, ri, op):
+    tab = _dst_build(rank, op)
+    return _dst_query(rank, tab, op, li, ri)
+
+
+@partial(jax.jit, static_argnames=("rtype", "op"))
+def _k_value_from_sorted(vo, red, ok, rtype, op):
+    n = vo.shape[0]
+    safe = jnp.clip(red, 0, n - 1)
+    out = vo[safe]
+    if rtype == T.F64:
+        return jnp.where(ok, out, jnp.float64(np.nan))
+    nv2 = np.int64(T.NULL_BY_TYPE.get(rtype, T.NULL_I64))
+    return jnp.where(ok, out, nv2.astype(out.dtype))
+
 
 @partial(jax.jit, static_argnames=("rtype", "op"))
 def _k_minmax_rank(sv, li, ri, ok, rtype, op):
@@ -408,13 +482,29 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
             pay_slot[id(rcol)] = len(pay_cols)
             pay_cols.append(rcol)
     pays = [dev.dev_col(c) for c in pay_cols]
+    # static (tmin, tbits) packing for the boundary sorts when
+    # (code, biased time, tie) fit one i64 key
+    pack = None
+    try:
+        rlo, rhi = dev.column_range(time_r)
+        tmin = int(min(int(rlo), int(lo_np.min()), int(hi_np.min())))
+        tmax = int(max(int(rhi), int(lo_np.max()), int(hi_np.max())))
+        tbits = max(int(tmax - tmin).bit_length(), 1)
+        cbits = max(int(n_codes).bit_length(), 1)
+        if cbits + tbits + 2 <= 62 and nr < (1 << 36) and \
+                nl < (1 << 25):
+            pack = (tmin, tbits)
+    except Exception:
+        pack = None
     f = _boundaries_fn(nl, nr, n_codes, tp, len(pays),
-                       tuple(str(p.dtype) for p in pays))
+                       tuple(str(p.dtype) for p in pays), pack=pack)
     res = f(lcode, rcode, rt_d, lo_d, hi_d, *pays)
     sr, li, ri, ok = res[0], res[1], res[2], res[3]
     spays = res[4:]
 
     out = {}
+    shared_mm: dict = {}   # per-call memo: rank/value sorts shared by
+    #                        min+max over the same null-free column
     for out_sid, name, rcol, rtype in aggs:
         sv = spays[pay_slot[id(rcol)]] if name != "count" else None
         if name == "count":
@@ -431,9 +521,27 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
                 ot, lambda v=sv, w=(name == "avg"), rt_=rtype:
                 _k_sum_avg(v, li, ri, ok, rt_, w), nl)
         else:
-            def mm_thunk(v=sv, op=name, rt_=rtype):
-                red = _k_minmax_rank(v, li, ri, ok, rt_, op)
-                return _k_minmax_value(v, red, ok, rt_, op)
+            nullfree = False
+            try:
+                nullfree = not dev.column_has_null(rcol)
+            except Exception:
+                pass
+            if nullfree:
+                # min and max over the same null-free column share
+                # the rank sorts and the sorted-value lookup table
+                def mm_thunk(v=sv, op=name, rt_=rtype, key=id(rcol)):
+                    if ("rank", key) not in shared_mm:
+                        shared_mm[("rank", key)] = _k_rank_nf(v)
+                        shared_mm[("vals", key)] = \
+                            _k_sorted_vals_nf(v)
+                    rk = shared_mm[("rank", key)]
+                    vo = shared_mm[("vals", key)]
+                    red = _k_minmax_from_rank(rk, li, ri, op)
+                    return _k_value_from_sorted(vo, red, ok, rt_, op)
+            else:
+                def mm_thunk(v=sv, op=name, rt_=rtype):
+                    red = _k_minmax_rank(v, li, ri, ok, rt_, op)
+                    return _k_minmax_value(v, red, ok, rt_, op)
             out[out_sid] = _lazy(rtype, mm_thunk, nl)
     return out
 
