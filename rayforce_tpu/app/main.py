@@ -10,6 +10,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     script = None
     port = None
+    kdb_port = None
     interactive = False
     user_args = []
     i = 0
@@ -20,6 +21,9 @@ def main(argv=None):
             i += 2
         elif a == "-p" and i + 1 < len(argv):
             port = int(argv[i + 1])
+            i += 2
+        elif a == "-kp" and i + 1 < len(argv):
+            kdb_port = int(argv[i + 1])
             i += 2
         elif a == "-i":
             interactive = True
@@ -64,6 +68,32 @@ def main(argv=None):
         server = IpcServer(rt, port)
         server.start()
         print(f"listening on :{port}", file=sys.stderr)
+
+    if kdb_port is not None:
+        # kdb+ wire-protocol listener (ext/kdb.py serve_conn): kdb
+        # clients query this engine with their native IPC format
+        import socket as _sk
+        import threading as _th
+        from ..ext import kdb as _kdb
+        _lst = _sk.socket()
+        _lst.setsockopt(_sk.SOL_SOCKET, _sk.SO_REUSEADDR, 1)
+        _lst.bind(("0.0.0.0", kdb_port))
+        _lst.listen(16)
+        print(f"kdb protocol on :{kdb_port}", file=sys.stderr)
+
+        def _kacc():
+            while True:
+                try:
+                    c, _ = _lst.accept()
+                except OSError:
+                    return
+                _th.Thread(target=_kdb.serve_conn, args=(rt, c),
+                           daemon=True).start()
+        _th.Thread(target=_kacc, daemon=True).start()
+        if port is None and not interactive and script is None:
+            import time as _t2
+            while True:
+                _t2.sleep(3600)
 
     if interactive or (script is None and port is None
                        and sys.stdin.isatty()):
