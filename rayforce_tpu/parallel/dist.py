@@ -116,17 +116,21 @@ def dist_groupby_count_first(mesh: Mesh, n_codes: int, shard_rows_n: int):
 def dist_shuffle(mesh: Mesh, capacity: int):
     """Route rows to the chip owning hash(key) % n_devices.
 
-    Returns a jitted fn (keys, values) -> (keys', values', valid') where
-    each chip receives up to `capacity` rows per source chip (static
-    shape; overflowing rows would be dropped — pick capacity with
-    headroom, e.g. 2x the balanced share). This is the ICI analogue of
-    the reference's radix scatter with per-thread write cursors
-    (index.c:2542-2553)."""
+    Returns a jitted fn (keys, values) -> (keys', values', valid',
+    overflow) where each chip receives up to `capacity` rows per
+    source chip (static shape). Rows beyond capacity are NOT sent;
+    `overflow` (replicated scalar) counts them so the caller can
+    re-run with a larger capacity — nothing drops silently. For
+    group-by workloads prefer dist_wide_groupby, whose pre-aggregation
+    makes overflow impossible by construction. This is the ICI
+    analogue of the reference's radix scatter with per-thread write
+    cursors (index.c:2542-2553)."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
 
     @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
-             out_specs=(P(axis), P(axis), P(axis)), check_rep=False)
+             out_specs=(P(axis), P(axis), P(axis), P()),
+             check_rep=False)
     def kernel(keys, values):
         n = keys.shape[0]
         dest = (keys % n_dev).astype(jnp.int32)
@@ -139,11 +143,15 @@ def dist_shuffle(mesh: Mesh, capacity: int):
         within = jnp.arange(n) - jnp.searchsorted(dest_s, dest_s,
                                                   side="left")
         ok = within < capacity
-        slot = dest_s * capacity + jnp.where(ok, within, 0)
+        overflow = jax.lax.psum((~ok).sum().astype(jnp.int64), axis)
+        # overflowing rows scatter out of bounds -> dropped from the
+        # send buffer, counted in `overflow`
+        slot = jnp.where(ok, dest_s * capacity + within,
+                         n_dev * capacity)
         send_k = jnp.full((n_dev * capacity,), -1, dtype=keys.dtype)
         send_v = jnp.zeros((n_dev * capacity,), dtype=values.dtype)
-        send_k = send_k.at[slot].set(jnp.where(ok, keys_s, -1))
-        send_v = send_v.at[slot].set(jnp.where(ok, vals_s, 0))
+        send_k = send_k.at[slot].set(keys_s, mode="drop")
+        send_v = send_v.at[slot].set(vals_s, mode="drop")
         send_k = send_k.reshape(n_dev, capacity)
         send_v = send_v.reshape(n_dev, capacity)
         recv_k = jax.lax.all_to_all(send_k, axis, 0, 0, tiled=False)
@@ -151,9 +159,27 @@ def dist_shuffle(mesh: Mesh, capacity: int):
         recv_k = recv_k.reshape(-1)
         recv_v = recv_v.reshape(-1)
         valid = recv_k >= 0
-        return recv_k, recv_v, valid
+        return recv_k, recv_v, valid, jnp.reshape(overflow, (1,))
 
     return jax.jit(kernel)
+
+
+def dist_shuffle_auto(mesh: Mesh, start_capacity: int):
+    """Overflow-safe shuffle: doubles capacity and re-runs until no
+    row overflows (the retry the round-1 kernel lacked)."""
+    fns: dict = {}
+
+    def run(keys, values):
+        c = start_capacity
+        while True:
+            if c not in fns:
+                fns[c] = dist_shuffle(mesh, c)
+            rk, rv, valid, ovf = fns[c](keys, values)
+            if int(np.asarray(ovf)[0]) == 0:
+                return rk, rv, valid
+            c *= 2
+
+    return run
 
 
 # -- distributed fused select (small dense code space) ------------------------

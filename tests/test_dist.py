@@ -110,13 +110,24 @@ def test_dist_shuffle_routing(mesh8):
     kd, _ = dist.shard_rows(mesh8, keys)
     vd, _ = dist.shard_rows(mesh8, vals)
     f = dist.dist_shuffle(mesh8, capacity=512)
-    rk, rv, valid = f(kd, vd)
+    rk, rv, valid, ovf = f(kd, vd)
+    assert int(np.asarray(ovf)[0]) == 0
     rk = np.asarray(rk).reshape(8, -1)
     valid = np.asarray(valid).reshape(8, -1)
     for d in range(8):
         got = rk[d][valid[d]]
         assert (got % 8 == d).all()
     assert int(valid.sum()) == n
+
+    # tight capacity -> overflow REPORTED (not silently dropped), and
+    # the auto wrapper retries until everything routes
+    f2 = dist.dist_shuffle(mesh8, capacity=8)
+    _rk, _rv, v2, ovf2 = f2(kd, vd)
+    dropped = int(np.asarray(ovf2)[0])
+    assert dropped > 0
+    assert int(np.asarray(v2).sum()) + dropped == n
+    rk3, _rv3, v3 = dist.dist_shuffle_auto(mesh8, 8)(kd, vd)
+    assert int(np.asarray(v3).sum()) == n
 
 
 def test_spmd_select_parity(mesh8):
