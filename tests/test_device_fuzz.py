@@ -45,6 +45,15 @@ def _mk_query(rnd):
         col = rnd.choice(VCOLS if agg != "count" else VCOLS)
         if agg in ("sum", "avg", "med") and col == "v4":
             col = "v1"
+        if agg in ("sum", "avg", "min", "max") and col != "v4" \
+                and rnd.random() < 0.3:
+            # DERIVED expressions: grouped sum of a derived expr SKIPS
+            # nulls while a plain column PROPAGATES them — a class of
+            # bug the plain-column-only fuzzer missed in round 1
+            other = rnd.choice(["v1", "v2"])
+            op = rnd.choice(["+", "-", "*"])
+            outs.append(f"o{i}: ({agg} ({op} {col} {other}))")
+            continue
         outs.append(f"o{i}: ({agg} {col})")
     nkeys = rnd.randint(0, 2)
     by = ""
