@@ -373,10 +373,52 @@ def _k_sorted_vals_nf(sv):
     return jax.lax.sort([sv], num_keys=1)[0]
 
 
-@partial(jax.jit, static_argnames=("op",))
-def _k_minmax_from_rank(rank, li, ri, op):
+_FLAT_MAX = 600_000_000   # flat table cells cap (~2.4 GB of i32)
+
+
+def _flat_st_minmax(rank, li, ri, op):
+    """Classic sparse table over i32 ranks: K=log2(n) precomputed
+    levels (L[k][i] = op over [i, i+2^k)), ONE flat concat, and a
+    2-gather query op(L[k][li], L[k][ri-2^k+1]) with k = msb(len).
+    ~8 i32 gathers of the two-level disjoint structure collapse to 2
+    (each full-width gather costs ~90-175 ms at 10M rows); the i32
+    rank payload keeps the table at n*log2(n)*4 bytes."""
+    n = rank.shape[0]
+    K = max((n - 1).bit_length(), 1)
+    fn = jnp.minimum if op == "min" else jnp.maximum
+    ident = _lim(rank.dtype, op)
+    levels = [rank]
+    cur = rank
+    for k in range(1, K):
+        sh = 1 << (k - 1)
+        if sh >= n:
+            break
+        shifted = jnp.concatenate(
+            [cur[sh:], jnp.full(sh, ident, cur.dtype)])
+        cur = fn(cur, shifted)
+        levels.append(cur)
+    flat = jnp.concatenate(levels)
+    span = (ri - li + 1).astype(jnp.int32)
+    k = jnp.clip(_msb(jnp.maximum(span, 1)), 0, len(levels) - 1)
+    off = k.astype(jnp.int64) * n
+    a = flat[jnp.clip(off + li, 0, flat.shape[0] - 1)]
+    blen = jnp.left_shift(jnp.int64(1), k.astype(jnp.int64))
+    b = flat[jnp.clip(off + ri + 1 - blen, 0, flat.shape[0] - 1)]
+    return fn(a, b)
+
+
+def _minmax_from_rank_impl(rank, li, ri, op):
+    n = int(rank.shape[0])
+    K = max((n - 1).bit_length(), 1)
+    if n * K <= _FLAT_MAX:
+        return _flat_st_minmax(rank, li, ri, op)
     tab = _dst_build(rank, op)
     return _dst_query(rank, tab, op, li, ri)
+
+
+@partial(jax.jit, static_argnames=("op",))
+def _k_minmax_from_rank(rank, li, ri, op):
+    return _minmax_from_rank_impl(rank, li, ri, op)
 
 
 @partial(jax.jit, static_argnames=("rtype", "op"))
@@ -405,8 +447,7 @@ def _k_minmax_rank(sv, li, ri, ok, rtype, op):
     iota = jnp.arange(n, dtype=jnp.int32)
     _k, order = jax.lax.sort([key, iota], num_keys=1, is_stable=True)
     _o, rank = jax.lax.sort([order, iota], num_keys=1, is_stable=True)
-    tab = _dst_build(rank, op)
-    return _dst_query(rank, tab, op, li, ri)
+    return _minmax_from_rank_impl(rank, li, ri, op)
 
 
 @partial(jax.jit, static_argnames=("rtype", "op"))
