@@ -152,6 +152,14 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
         rid = jnp.asarray(rid).reshape(-1)[:n_l]
         has = jnp.asarray(has).reshape(-1)[:n_l]
         return jnp.where(has, rid, jnp.int64(T.NULL_I64))
+    if m is not None and mode == "asof" and lkeys:
+        code_bound = 1
+        for _lo, rng in metas:
+            code_bound *= rng
+        rids = _mesh_asof(m, lcode, rcode, ltime, rtime, n_l, n_r,
+                          code_bound)
+        if rids is not None:
+            return rids
     f = _match_kernel(n_l, n_r, mode, ltime is not None)
     if ltime is not None:
         return f(lcode, rcode, dev.dev_col(ltime), dev.dev_col(rtime))
@@ -284,3 +292,53 @@ def sliced_col(lane, n: int, like: Obj) -> Obj:
     o = Obj(like.t, DevPendingSliced(lane, n), domain=like.domain)
     o.meta = {}
     return o
+
+
+def _mesh_asof(m, lcode, rcode, ltime, rtime, n_l, n_r,
+               code_bound):
+    """Mesh-mode asof probe: both sides hash-partition by key code
+    over the chips (parallel/dist.py:dist_asof_probe routes rows with
+    per-(src,dst) capacity = the shard size — zero-drop), each chip
+    runs the last-<= probe locally, and the matched RIGHT ROW IDS ride
+    the exchange as exactly-representable f64 payloads. Falls back
+    (None) when (code, biased time) exceed the probe's packed-key
+    budget (codes < 2^31, time span < 2^31)."""
+    try:
+        llo, lhi = dev.column_range(ltime)
+        rlo, rhi = dev.column_range(rtime)
+    except Exception:
+        return None
+    tmin = int(min(int(llo), int(rlo)))
+    tspan = int(max(int(lhi), int(rhi))) - tmin
+    if tspan >= (1 << 31) or tspan < 0 or code_bound >= (1 << 31):
+        return None
+    from ..parallel import dist
+    axis = m.axis_names[0]
+    n_dev = m.shape[axis]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def shardpad(a, fill):
+        pad = (-int(a.shape[0])) % n_dev
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full(pad, fill, dtype=a.dtype)])
+        return jax.device_put(a, NamedSharding(m, P(axis)))
+
+    # codes must stay below 2^31 for the probe's key<<31|ts packing
+    # (rcode max is data-dependent but bounded by the packed key-range
+    # metas; a conservative host check on the left code bound)
+    lt = dev.dev_col(ltime).astype(jnp.int64) - tmin
+    rt_ = dev.dev_col(rtime).astype(jnp.int64) - tmin
+    lk = shardpad(lcode, np.int64(-1))
+    lts = shardpad(lt, np.int64(0))
+    rk = shardpad(rcode, np.int64(-1))
+    rts = shardpad(rt_, np.int64(0))
+    rid_global = jnp.arange(n_r, dtype=jnp.int64).astype(jnp.float64)
+    rv = shardpad(rid_global, np.float64(np.nan))
+    rows_local_r = (n_r + n_dev - 1) // n_dev
+    f = dist.dist_asof_probe(m, rows_local_r)
+    val, hit = f(lk, lts, rk, rts, rv)
+    val = jnp.asarray(val).reshape(-1)[:n_l]
+    hit = jnp.asarray(hit).reshape(-1)[:n_l]
+    return jnp.where(hit, val.astype(jnp.int64),
+                     jnp.int64(T.NULL_I64))

@@ -504,8 +504,11 @@ def dist_asof_probe(mesh: Mesh, rows_local_r: int):
         # local last-<= probe: sort right by key<<31|ts, searchsorted
         rpk = jnp.where(xrk >= 0, (xrk << 31) | xrt,
                         jnp.int64(G.KEY_MAX))
-        srk, srv = jax.lax.sort([rpk, xrv], num_keys=1,
-                                is_stable=False)
+        # payload as a secondary key: equal (key, ts) rows resolve
+        # deterministically to the highest payload — with row-id
+        # payloads (the interpreter path) that is the reference's
+        # last-by-original-position tie rule
+        srk, srv = jax.lax.sort([rpk, xrv], num_keys=2)
         lpk = (jnp.maximum(xlk, 0) << 31) | xlt
         ix = jnp.searchsorted(srk, lpk, side="right") - 1
         ixc = jnp.clip(ix, 0, srk.shape[0] - 1)

@@ -390,3 +390,49 @@ def test_mesh_join_parity(mesh8):
         dev._mesh_state.clear()
         dev._mesh_state.update(old_state)
         dev._cfg["threshold"] = old_thresh
+
+
+def test_mesh_asof_join_parity(mesh8):
+    """End-to-end mesh-mode asof join through the interpreter: both
+    sides hash-partition by key over the chips; results match the
+    host kernel exactly."""
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import device as dev
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    old_state = dict(dev._mesh_state)
+    old_thresh = dev._cfg["threshold"]
+    os.environ["RAYFORCE_MESH"] = "8"
+    dev._mesh_state.update({"mesh": None, "checked": False})
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        assert dev.mesh() is not None
+        rng = np.random.default_rng(41)
+        nl, nr = 8 * 400 + 5, 8 * 700 + 3
+        rt = Runtime()
+        rt.interp.globals[symbols.intern("tr")] = table(
+            vec_sym(["s", "ts", "q"]),
+            [Obj(T.I64, rng.integers(0, 50, nl).astype(np.int64)),
+             Obj(T.I64, np.sort(rng.integers(0, 1 << 20, nl))
+                 .astype(np.int64)),
+             Obj(T.I64, rng.integers(1, 10, nl).astype(np.int64))])
+        rt.interp.globals[symbols.intern("qt")] = table(
+            vec_sym(["s", "ts", "px"]),
+            [Obj(T.I64, rng.integers(0, 50, nr).astype(np.int64)),
+             Obj(T.I64, np.sort(rng.integers(0, 1 << 20, nr))
+                 .astype(np.int64)),
+             Obj(T.F64, rng.uniform(1, 100, nr))])
+        q = "(asof-join [s ts] tr qt)"
+        s_dev = fmt(rt.eval_str(q))
+        dev.set_enabled(False)
+        s_host = fmt(rt.eval_str(q))
+        dev.set_enabled(True)
+        assert s_dev == s_host
+    finally:
+        os.environ.pop("RAYFORCE_MESH", None)
+        dev._mesh_state.clear()
+        dev._mesh_state.update(old_state)
+        dev._cfg["threshold"] = old_thresh
