@@ -119,7 +119,11 @@ def dev_col_sharded(col: Obj, m):
 def host_sharding():
     """Pinned-host placement for query outputs: the result lands in the
     remote host's memory during the execute step, making the subsequent
-    read cheaper than a device->host copy."""
+    read cheaper than a device->host copy. None on backends without a
+    pinned_host memory space (the CPU test backend) — callers jit
+    without out_shardings there."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
     return SingleDeviceSharding(jax.devices()[0],
                                 memory_kind="pinned_host")
 

@@ -553,12 +553,15 @@ def _build_plan(src, outs, where_ast, by_ast):
                 # yields typed NULL (aggr.c:1158-1256, oracle-pinned)
                 v = agg_raw[f"{a.name}{cid}"][ordi]
                 nullable = cid in need_nullcnt
+                plainc = a.meta.get("plain_col")
                 if nullable:
                     empty = mm[f"nullcnt{cid}"][ordi] == counts_o
                 if rt == T.F64:
-                    if nullable and a.name == "max":
+                    if nullable and (a.name == "max" or not plainc):
+                        # derived-expr min follows whole-vector
+                        # semantics: all-null -> 0Nf (host-pinned)
                         v = jnp.where(empty, jnp.float64(np.nan), v)
-                    # min: nulls were mapped +inf; all-null stays +inf
+                    # plain min: nulls mapped +inf; all-null stays +inf
                     P.add(lane, v)
                 else:
                     narrow = rt in NARROW
@@ -567,10 +570,12 @@ def _build_plan(src, outs, where_ast, by_ast):
                         vlo, vhi = a.meta["vrange"]
                         narrow = -(1 << 31) <= vlo and vhi < (1 << 31)
                     if nullable:
-                        if a.name == "max":
+                        if a.name == "max" or not plainc:
+                            # derived-expr min = whole-vector
+                            # semantics: all-null -> typed NULL
                             fillv = np.int64(T.NULL_BY_TYPE.get(
                                 rt, T.NULL_I64))
-                        else:   # typed INF sentinel (iinfo max)
+                        else:   # plain min: typed INF (iinfo max)
                             fillv = np.int64(np.iinfo(
                                 T.DTYPE[rt]).max)
                         v = jnp.where(empty, fillv, v)
@@ -646,7 +651,9 @@ def _build_plan(src, outs, where_ast, by_ast):
         plan.fn = jax.jit(smapped)
         plan.spmd = True
     else:
-        plan.fn = jax.jit(pipeline, out_shardings=dev.host_sharding())
+        hs = dev.host_sharding()
+        plan.fn = jax.jit(pipeline, out_shardings=hs) \
+            if hs is not None else jax.jit(pipeline)
         plan.spmd = False
     plan.col_objs = col_objs
     plan.key_meta = key_meta
@@ -757,6 +764,11 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
                          "spmd": plan.spmd})
 
     k = int(lanes["nocc"][0])
+    if k == 0:
+        # every row filtered out: the host path carries the empty/
+        # no-by result semantics (a no-by select still yields ONE row
+        # of whole-vector-over-empty aggregates, e.g. avg -> 0Nf)
+        return None
     slots = lanes["slots"][:k].astype(np.int64)
 
     out_names: list[int] = []

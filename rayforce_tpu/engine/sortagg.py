@@ -474,15 +474,21 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
                 srcv = cols[agg_maps[cid][0]]
                 emit(lane, srcv[jnp.clip(lidx_o, 0, n_rows - 1)])
             elif a.name in ("min", "max"):
+                # all-null groups: PLAIN-column grouped min keeps the
+                # typed INF init (aggr.c:1241); min/max of a DERIVED
+                # expression runs per-group whole-vector semantics ->
+                # typed NULL (math.c fold; host-pinned); grouped max
+                # yields NULL either way
                 v = order(segres[(a.name, cid)])
                 if cid in nullcnt:
                     empty = order(nullcnt[cid]) >= counts_o
+                    plain = a.meta.get("plain_col")
                     if rt == T.F64:
-                        if a.name == "max":
+                        if a.name == "max" or not plain:
                             v = jnp.where(empty, jnp.float64(np.nan),
                                           v)
-                        # min: all-null stays +inf (typed INF)
-                    elif a.name == "max":
+                        # plain min: all-null stays +inf (typed INF)
+                    elif a.name == "max" or not plain:
                         nv = _dt_null(rt)
                         v = jnp.where(empty, np.int64(
                             nv if nv is not None else T.NULL_I64), v)

@@ -305,14 +305,17 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, aggs):
                 srcv = cols[agg_maps[cid][0]]
                 lanes[lane] = srcv[jnp.clip(lidx, 0, N - 1)]
             elif a.name in ("min", "max"):
+                # all-null: plain min keeps typed INF; derived-expr
+                # min and any max yield typed NULL (host-pinned)
                 v = segres[(a.name, cid)]
                 if cid in nullcnt:
                     empty = nullcnt[cid] >= counts
+                    plain = a.meta.get("plain_col")
                     if rt == T.F64:
-                        if a.name == "max":
+                        if a.name == "max" or not plain:
                             v = jnp.where(empty, jnp.float64(np.nan),
                                           v)
-                    elif a.name == "max":
+                    elif a.name == "max" or not plain:
                         nv = _dt_null(rt)
                         v = jnp.where(empty, np.int64(
                             nv if nv is not None else T.NULL_I64), v)

@@ -74,6 +74,11 @@ def group_multi(cols: list) -> GroupIndex:
     if len(cols) == 1:
         return group_single(cols[0])
     codes = [_col_codes(c) for c in cols]
+    if len(codes[0]) == 0:
+        # all rows filtered away: zero groups (min/max over empty
+        # codes has no identity)
+        z = np.zeros(0, dtype=np.int64)
+        return GroupIndex(z, 0, z.copy())
     # try perfect range multipliers
     total = 1
     combined = None
