@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import types as T
-from ..core.obj import Obj, DevPending, to_np, enum_domain
+from ..core.obj import Obj, DevPending, enum_domain
 from . import device as dev
 from . import groupby as G
 

@@ -32,7 +32,7 @@ import numpy as np
 from ..core import types as T
 from ..core import symbols
 from ..core.obj import (Obj, NULL_OBJ, list_, dict_, table, string,
-                        str_of, to_np, vec_sym)
+                        str_of, to_np)
 from ..core.errors import RayError, err_type, err_os
 
 # kdb type code <-> (rayforce type, numpy dtype, width)
