@@ -113,3 +113,27 @@ def test_fuzz_within_in():
         s_host = fmt(rt.eval_str(q))
         dev.set_enabled(True)
         assert s_dev == s_host, q
+
+
+@pytest.mark.skipif(not os.environ.get("RAYFORCE_FUZZ_EXTENDED"),
+                    reason="extended sweep: RAYFORCE_FUZZ_EXTENDED=1")
+@pytest.mark.parametrize("seed", range(200, 240))
+def test_fuzz_select_extended(seed):
+    """40-seed deep sweep (the run that caught the empty-multi-key
+    crash and the derived-min all-null divergence); opt-in so the
+    default suite stays fast."""
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    rng = np.random.default_rng(seed)
+    rnd = random.Random(seed)
+    rt = Runtime()
+    rt.interp.globals[symbols.intern("t")] = _mk_table(
+        rng, rnd.choice([777, 3001, 9000, 20000]))
+    for _ in range(8):
+        q = _mk_query(rnd)
+        dev.set_enabled(True)
+        s_dev = fmt(rt.eval_str(q))
+        dev.set_enabled(False)
+        s_host = fmt(rt.eval_str(q))
+        dev.set_enabled(True)
+        assert s_dev == s_host, q
