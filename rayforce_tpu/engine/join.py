@@ -79,22 +79,37 @@ def _pack_codes(cols, metas):
     return code
 
 
-def _match_kernel(n_l: int, n_r: int, mode: str, timed: bool):
-    key = (n_l, n_r, mode, timed)
+def _match_kernel(n_l: int, n_r: int, mode: str, timed: bool,
+                  code_bits: int | None = None):
+    """code_bits set (untimed joins whose packed code range is known):
+    (code, pos) pack into ONE i64 sort key and the unsort packs
+    (pos, match) likewise — two single-key unstable sorts instead of
+    two stable multi-operand ones (~2x cheaper, TPU_NOTES.md)."""
+    key = (n_l, n_r, mode, timed, code_bits)
     if key in _kernel_cache:
         return _kernel_cache[key]
 
+    n = n_r + n_l
+    pos_bits = max((n - 1).bit_length(), 1)
+
     def kernel(lcode, rcode, *times):
         comb = jnp.concatenate([rcode, lcode])
-        pos = jnp.arange(n_r + n_l, dtype=jnp.int32)
-        if timed:
-            tcomb = jnp.concatenate([times[1].astype(jnp.int64),
-                                     times[0].astype(jnp.int64)])
-            scode, _st, spos = jax.lax.sort([comb, tcomb, pos],
-                                            num_keys=2, is_stable=True)
+        if code_bits is not None:
+            pk = (comb << pos_bits) | jnp.arange(n, dtype=jnp.int64)
+            spk = jax.lax.sort([pk], num_keys=1, is_stable=False)[0]
+            scode = spk >> pos_bits
+            spos = (spk & ((np.int64(1) << pos_bits) - 1)) \
+                .astype(jnp.int32)
         else:
-            scode, spos = jax.lax.sort([comb, pos], num_keys=1,
-                                       is_stable=True)
+            pos = jnp.arange(n, dtype=jnp.int32)
+            if timed:
+                tcomb = jnp.concatenate([times[1].astype(jnp.int64),
+                                         times[0].astype(jnp.int64)])
+                scode, _st, spos = jax.lax.sort(
+                    [comb, tcomb, pos], num_keys=2, is_stable=True)
+            else:
+                scode, spos = jax.lax.sort([comb, pos], num_keys=1,
+                                           is_stable=True)
         is_right = spos < n_r
         if mode == "first":
             rp = jnp.where(is_right, spos.astype(jnp.int64),
@@ -106,9 +121,20 @@ def _match_kernel(n_l: int, n_r: int, mode: str, timed: bool):
                            jnp.int64(-1))
             m = G.seg_doubling_max(scode, rp)
             none = m < 0
-        m = jnp.where(none, np.int64(T.NULL_I64), m)
-        # unsort to original (concat) order, keep the left slice
-        _, mun = jax.lax.sort([spos, m], num_keys=1, is_stable=True)
+        # unsort to original (concat) order, keep the left slice.
+        # m is a right position in [0, n_r) or a none-sentinel: pack
+        # (pos, m+1) into one key when the bits fit (m+1 <= n_r)
+        m_bits = max(int(n_r + 1).bit_length(), 1)
+        if pos_bits + m_bits <= 62:
+            mm = jnp.where(none, jnp.int64(0), m + 1)
+            upk = (spos.astype(jnp.int64) << m_bits) | mm
+            upks = jax.lax.sort([upk], num_keys=1, is_stable=False)[0]
+            mun = (upks & ((np.int64(1) << m_bits) - 1)) - 1
+            mun = jnp.where(mun < 0, np.int64(T.NULL_I64), mun)
+        else:
+            m = jnp.where(none, np.int64(T.NULL_I64), m)
+            _, mun = jax.lax.sort([spos, m], num_keys=1,
+                                  is_stable=True)
         return mun[n_r:]
 
     f = jax.jit(kernel)
@@ -160,7 +186,17 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
                           code_bound)
         if rids is not None:
             return rids
-    f = _match_kernel(n_l, n_r, mode, ltime is not None)
+    code_bits = None
+    if ltime is None and lkeys:
+        total = 1
+        for _lo, rng in metas:
+            total *= rng
+        cb = max(int(total).bit_length(), 1)
+        pb = max((n_l + n_r - 1).bit_length(), 1)
+        if cb + pb <= 62:
+            code_bits = cb
+    f = _match_kernel(n_l, n_r, mode, ltime is not None,
+                      code_bits=code_bits)
     if ltime is not None:
         return f(lcode, rcode, dev.dev_col(ltime), dev.dev_col(rtime))
     return f(lcode, rcode)
