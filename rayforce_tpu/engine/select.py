@@ -697,20 +697,31 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         return None
     if not outs:
         return None
+    # NOTE: the cache entry PINS src. Keys include id(src); a transient
+    # table could die and CPython could hand its id to a NEW same-length
+    # table, silently serving a stale plan that computes on the OLD
+    # captured columns (observed via the parted streaming tests'
+    # per-partition sub-tables). Holding src in the entry makes id
+    # reuse impossible while the entry lives.
     key = (id(src), len(src),
            _fingerprint(where_ast) if where_ast is not None else "",
            _fingerprint(by_ast) if by_ast is not None else "",
            tuple((sid, _fingerprint(ast)) for sid, ast in outs))
     from ..core import profiler as _prof
-    plan = _plan_cache.get(key)
+    ent = _plan_cache.get(key)
+    plan = ent[0] if ent is not None else None
     if plan is None:
         plan = _build_plan(src, outs, where_ast, by_ast)
         _prof.tick("device: build plan")
         if plan is None:
-            _plan_cache[key] = "unsupported"
+            _plan_cache[key] = ("unsupported", src)
             return None
-        _plan_cache[key] = plan
-    elif plan == "unsupported":
+        _plan_cache[key] = (plan, src)
+        if len(_plan_cache) > 512:
+            # FIFO eviction: long-running servers must not pin tables
+            # (and their HBM columns) forever
+            _plan_cache.pop(next(iter(_plan_cache)))
+    if plan == "unsupported":
         return None
 
     from . import dgroup as _dg

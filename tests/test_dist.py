@@ -159,7 +159,7 @@ def test_spmd_select_parity(mesh8):
                    Obj(T.F64, rng.uniform(-50, 100, N))])
         rt = Runtime()
         rt.interp.globals[symbols.intern("t")] = t
-        n_spmd0 = sum(1 for p in sel._plan_cache.values()
+        n_spmd0 = sum(1 for p, _s in sel._plan_cache.values()
                       if p != "unsupported" and getattr(p, "spmd", 0))
         for q in [
             "(select {s: (sum v1) c: (count v1) from: t by: id1})",
@@ -171,7 +171,7 @@ def test_spmd_select_parity(mesh8):
             s_host = fmt(rt.eval_str(q))
             dev.set_enabled(True)
             assert s_dev == s_host, q
-        n_spmd = sum(1 for p in sel._plan_cache.values()
+        n_spmd = sum(1 for p, _s in sel._plan_cache.values()
                      if p != "unsupported" and getattr(p, "spmd", 0))
         assert n_spmd > n_spmd0, "distributed plans were not used"
     finally:
