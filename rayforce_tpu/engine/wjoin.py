@@ -373,6 +373,24 @@ def _k_sorted_vals_nf(sv):
     return jax.lax.sort([sv], num_keys=1)[0]
 
 
+@partial(jax.jit, static_argnames=("rtype",))
+def _k_minmax_pair_nf(sv, li, ri, ok, rtype):
+    """Window min AND max of a null-free column in one executable:
+    the rank sorts and the sorted-value table are computed once and the
+    two sparse tables share the fused program (chained per-aggregate
+    executables each pay a relay scheduling round)."""
+    n = sv.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _k, order = jax.lax.sort([sv, iota], num_keys=1, is_stable=True)
+    _o, rank = jax.lax.sort([order, iota], num_keys=1, is_stable=True)
+    vo = jax.lax.sort([sv], num_keys=1)[0]
+    outs = []
+    for op in ("min", "max"):
+        red = _minmax_from_rank_impl(rank, li, ri, op)
+        outs.append(_k_value_from_sorted(vo, red, ok, rtype, op))
+    return tuple(outs)
+
+
 _FLAT_MAX = 600_000_000   # flat table cells cap (~2.4 GB of i32)
 
 
@@ -546,6 +564,10 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
     out = {}
     shared_mm: dict = {}   # per-call memo: rank/value sorts shared by
     #                        min+max over the same null-free column
+    mm_ops: dict = {}      # id(rcol) -> set of requested min/max ops
+    for _sid, name, rcol, _rt in aggs:
+        if name in ("min", "max"):
+            mm_ops.setdefault(id(rcol), set()).add(name)
     for out_sid, name, rcol, rtype in aggs:
         sv = spays[pay_slot[id(rcol)]] if name != "count" else None
         if name == "count":
@@ -567,18 +589,20 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
                 nullfree = not dev.column_has_null(rcol)
             except Exception:
                 pass
-            if nullfree:
-                # min and max over the same null-free column share
-                # the rank sorts and the sorted-value lookup table
+            if nullfree and mm_ops.get(id(rcol)) == {"min",
+                                                      "max"}:
+                # min and max over the same null-free column compute
+                # in ONE fused executable on first touch (shared rank
+                # sorts + value table; one relay dispatch instead of
+                # six chained ones) and the sibling aggregate reads
+                # the cached lane
                 def mm_thunk(v=sv, op=name, rt_=rtype, key=id(rcol)):
-                    if ("rank", key) not in shared_mm:
-                        shared_mm[("rank", key)] = _k_rank_nf(v)
-                        shared_mm[("vals", key)] = \
-                            _k_sorted_vals_nf(v)
-                    rk = shared_mm[("rank", key)]
-                    vo = shared_mm[("vals", key)]
-                    red = _k_minmax_from_rank(rk, li, ri, op)
-                    return _k_value_from_sorted(vo, red, ok, rt_, op)
+                    ck = ("mm", key, op)
+                    if ck not in shared_mm:
+                        both = _k_minmax_pair_nf(v, li, ri, ok, rt_)
+                        shared_mm[("mm", key, "min")] = both[0]
+                        shared_mm[("mm", key, "max")] = both[1]
+                    return shared_mm[ck]
             else:
                 def mm_thunk(v=sv, op=name, rt_=rtype):
                     red = _k_minmax_rank(v, li, ri, ok, rt_, op)
