@@ -41,11 +41,20 @@ _kernel_cache: dict = {}
 
 
 def _key_ranges(lkeys, rkeys):
-    """Joint (lo, rng) per key pair from cached column stats; None when
-    the pair can't be packed into a shared dense i64 code."""
+    """Joint (lo, rng, nullable) per key pair from cached column
+    stats; None when the pair can't be packed into a shared dense i64
+    code. Nullable keys get a dedicated extra code slot (rng-1):
+    NULL == NULL matches like any value (the reference's find probe)
+    and the wrapped (NULL - lo) garbage can never alias a real
+    multi-key combination after range multiplication."""
     metas = []
     total = 1
     for lc, rc in zip(lkeys, rkeys):
+        try:
+            nullable = dev.column_has_null(lc) or \
+                dev.column_has_null(rc)
+        except Exception:
+            nullable = True
         if lc.t == T.ENUM or rc.t == T.ENUM:
             # comparable only when both enums share the domain object
             if lc.t != T.ENUM or rc.t != T.ENUM or \
@@ -61,20 +70,26 @@ def _key_ranges(lkeys, rkeys):
             lo, hi = min(llo, rlo), max(lhi, rhi)
         else:
             return None
-        rng = hi - lo + 1
+        rng = hi - lo + 1 + (1 if nullable else 0)
         if rng <= 0:
             return None
         total *= rng
         if total > _MAXC:
             return None
-        metas.append((lo, rng))
+        metas.append((lo, rng, nullable))
     return metas
 
 
 def _pack_codes(cols, metas):
     code = None
-    for c, (lo, rng) in zip(cols, metas):
+    for c, (lo, rng, nullable) in zip(cols, metas):
         a = dev.dev_col(c).astype(jnp.int64) - lo
+        if nullable:
+            nv = T.NULL_BY_TYPE.get(
+                T.SYMBOL if c.t == T.ENUM else c.t, T.NULL_I64)
+            a = jnp.where(dev.dev_col(c) == np.int64(nv)
+                          .astype(dev.dev_col(c).dtype),
+                          np.int64(rng - 1), a)
         code = a if code is None else code * rng + a
     return code
 
@@ -180,7 +195,7 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
         return jnp.where(has, rid, jnp.int64(T.NULL_I64))
     if m is not None and mode == "asof" and lkeys:
         code_bound = 1
-        for _lo, rng in metas:
+        for _lo, rng, _nb in metas:
             code_bound *= rng
         rids = _mesh_asof(m, lcode, rcode, ltime, rtime, n_l, n_r,
                           code_bound)
@@ -188,13 +203,22 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
             return rids
     code_bits = None
     if ltime is None and lkeys:
-        total = 1
-        for _lo, rng in metas:
-            total *= rng
-        cb = max(int(total).bit_length(), 1)
-        pb = max((n_l + n_r - 1).bit_length(), 1)
-        if cb + pb <= 62:
-            code_bits = cb
+        # NULL keys wrap (NULL - lo) to codes far outside [0, range):
+        # consistent for equality matching, but they overflow the
+        # packed (code << pos) key — pack only null-free keys
+        def _nullfree(cols):
+            try:
+                return not any(dev.column_has_null(c) for c in cols)
+            except Exception:
+                return False
+        if _nullfree(lkeys) and _nullfree(rkeys):
+            total = 1
+            for _lo, rng, _nb in metas:
+                total *= rng
+            cb = max(int(total).bit_length(), 1)
+            pb = max((n_l + n_r - 1).bit_length(), 1)
+            if cb + pb <= 62:
+                code_bits = cb
     f = _match_kernel(n_l, n_r, mode, ltime is not None,
                       code_bits=code_bits)
     if ltime is not None:

@@ -514,7 +514,7 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
         if metas is None:
             return None
         total = 1
-        for _lo, rng in metas:
+        for _lo, rng, _nb in metas:
             total *= rng
         if total > dev._cfg["dense_max"]:
             return None

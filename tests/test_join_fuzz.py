@@ -1,0 +1,71 @@
+"""Randomized device-vs-host join parity: left/inner/asof over random
+tables with duplicate right keys, null keys, enum-ish symbol keys, and
+multi-key combinations — the surfaces the golden suite samples only
+pointwise."""
+import os
+import random
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["RAYFORCE_DEVICE"] = "1"
+
+from rayforce_tpu import Runtime                       # noqa: E402
+from rayforce_tpu.engine import device as dev          # noqa: E402
+from rayforce_tpu.core.obj import Obj, table, vec_sym  # noqa: E402
+from rayforce_tpu.core import types as T, symbols      # noqa: E402
+from rayforce_tpu.core.fmt import format_top as fmt    # noqa: E402
+
+
+def _mk_tables(rng, nl, nr, with_nulls):
+    k1l = rng.integers(0, 40, nl).astype(np.int64)
+    k1r = rng.integers(0, 60, nr).astype(np.int64)   # partial overlap
+    k2l = rng.integers(-5, 5, nl).astype(np.int64)
+    k2r = rng.integers(-5, 5, nr).astype(np.int64)
+    if with_nulls:
+        k1l[rng.integers(0, nl, max(nl // 30, 1))] = T.NULL_I64
+        k1r[rng.integers(0, nr, max(nr // 30, 1))] = T.NULL_I64
+    tl = rng.integers(0, 100_000, nl).astype(np.int64)
+    tr_ = np.sort(rng.integers(0, 100_000, nr)).astype(np.int64)
+    lt = table(vec_sym(["k1", "k2", "ts", "lv"]),
+               [Obj(T.I64, k1l), Obj(T.I64, k2l), Obj(T.I64, tl),
+                Obj(T.F64, rng.uniform(0, 10, nl))])
+    rt_ = table(vec_sym(["k1", "k2", "ts", "rv", "w"]),
+                [Obj(T.I64, k1r), Obj(T.I64, k2r), Obj(T.I64, tr_),
+                 Obj(T.F64, rng.uniform(0, 10, nr)),
+                 Obj(T.I64, rng.integers(0, 1000, nr)
+                     .astype(np.int64))])
+    return lt, rt_
+
+
+QUERIES = [
+    "(left-join [k1] l r)",
+    "(inner-join [k1] l r)",
+    "(left-join [k1 k2] l r)",
+    "(inner-join [k1 k2] l r)",
+    "(asof-join [k1 ts] l r)",
+    "(asof-join [k1 k2 ts] l r)",
+]
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_join_fuzz(seed, with_nulls):
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    rng = np.random.default_rng(1000 + seed)
+    rnd = random.Random(1000 + seed)
+    nl = rnd.choice([800, 2500])
+    nr = rnd.choice([300, 1700])
+    lt, rt_ = _mk_tables(rng, nl, nr, with_nulls)
+    rt = Runtime()
+    rt.interp.globals[symbols.intern("l")] = lt
+    rt.interp.globals[symbols.intern("r")] = rt_
+    for q in QUERIES:
+        dev.set_enabled(True)
+        s_dev = fmt(rt.eval_str(q))
+        dev.set_enabled(False)
+        s_host = fmt(rt.eval_str(q))
+        dev.set_enabled(True)
+        assert s_dev == s_host, (seed, with_nulls, q)
