@@ -69,3 +69,40 @@ def test_join_fuzz(seed, with_nulls):
         s_host = fmt(rt.eval_str(q))
         dev.set_enabled(True)
         assert s_dev == s_host, (seed, with_nulls, q)
+
+
+SORT_QUERIES = [
+    "(xasc t [k1])",
+    "(xasc t [k1 k2])",
+    "(xdesc t [k2 v])",
+    "(xasc t [v])",
+    "(xdesc t [k1 ts v])",
+]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_sort_fuzz(seed):
+    """Device multi-key table sorts vs host: random tables with nulls,
+    NaNs, duplicates across every key combination."""
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    rng = np.random.default_rng(2000 + seed)
+    n = 3000
+    k1 = rng.integers(0, 12, n).astype(np.int64)
+    k1[rng.integers(0, n, 40)] = T.NULL_I64
+    k2 = rng.integers(-4, 4, n).astype(np.int32)
+    v = rng.uniform(-50, 50, n)
+    v[rng.integers(0, n, 40)] = np.nan
+    ts = rng.integers(0, 10**6, n).astype(np.int64)
+    rt = Runtime()
+    rt.interp.globals[symbols.intern("t")] = table(
+        vec_sym(["k1", "k2", "v", "ts"]),
+        [Obj(T.I64, k1), Obj(T.I32, k2), Obj(T.F64, v),
+         Obj(T.I64, ts)])
+    for q in SORT_QUERIES:
+        dev.set_enabled(True)
+        s_dev = fmt(rt.eval_str(q))
+        dev.set_enabled(False)
+        s_host = fmt(rt.eval_str(q))
+        dev.set_enabled(True)
+        assert s_dev == s_host, (seed, q)
