@@ -106,3 +106,45 @@ def test_sort_fuzz(seed):
         s_host = fmt(rt.eval_str(q))
         dev.set_enabled(True)
         assert s_dev == s_host, (seed, q)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_window_join_fuzz(seed):
+    """Randomized window-join/window-join1 parity: random windows
+    (including empty and inverted ones), nulls in aggregated columns,
+    duplicate (key, time) rows, every aggregate kind."""
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    rng = np.random.default_rng(3000 + seed)
+    rnd = random.Random(3000 + seed)
+    nl = rnd.choice([400, 1500])
+    nr = rnd.choice([900, 2600])
+    lk = rng.integers(0, 15, nl).astype(np.int64)
+    lts = np.sort(rng.integers(0, 50_000, nl)).astype(np.int64)
+    rk = rng.integers(0, 15, nr).astype(np.int64)
+    rts = np.sort(rng.integers(0, 50_000, nr)).astype(np.int64)
+    p = rng.uniform(-100, 100, nr)
+    p[rng.integers(0, nr, max(nr // 25, 1))] = np.nan
+    q_ = rng.integers(-50, 50, nr).astype(np.int64)
+    q_[rng.integers(0, nr, max(nr // 25, 1))] = T.NULL_I64
+    rt = Runtime()
+    rt.interp.globals[symbols.intern("tr")] = table(
+        vec_sym(["s", "ts"]), [Obj(T.I64, lk), Obj(T.I64, lts)])
+    rt.interp.globals[symbols.intern("qt")] = table(
+        vec_sym(["s", "ts", "p", "q"]),
+        [Obj(T.I64, rk), Obj(T.I64, rts), Obj(T.F64, p),
+         Obj(T.I64, q_)])
+    w = rnd.choice([(-1000, 1000), (-5000, 0), (0, 0), (-1, 1),
+                    (-20000, 20000)])
+    for fn in ("window-join", "window-join1"):
+        for aggs in ["{mx: (max p) mn: (min p)}",
+                     "{s: (sum q) a: (avg p) c: (count p)}",
+                     "{f: (first p) l: (last q)}"]:
+            q = (f"({fn} [s ts] (map-left + [{w[0]} {w[1]}] "
+                 f"(at tr 'ts)) tr qt {aggs})")
+            dev.set_enabled(True)
+            s_dev = fmt(rt.eval_str(q))
+            dev.set_enabled(False)
+            s_host = fmt(rt.eval_str(q))
+            dev.set_enabled(True)
+            assert s_dev == s_host, (seed, w, q)
