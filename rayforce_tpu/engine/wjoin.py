@@ -589,20 +589,21 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
                 nullfree = not dev.column_has_null(rcol)
             except Exception:
                 pass
-            if nullfree and mm_ops.get(id(rcol)) == {"min",
-                                                      "max"}:
-                # min and max over the same null-free column compute
-                # in ONE fused executable on first touch (shared rank
-                # sorts + value table; one relay dispatch instead of
-                # six chained ones) and the sibling aggregate reads
-                # the cached lane
+            if nullfree:
+                # min and max over the same null-free column share
+                # the rank sorts and the sorted-value lookup table
+                # (fusing BOTH aggregates into one executable was
+                # tried and measured SLOWER at 20M rows: both flat
+                # sparse tables alive at once pressure HBM)
                 def mm_thunk(v=sv, op=name, rt_=rtype, key=id(rcol)):
-                    ck = ("mm", key, op)
-                    if ck not in shared_mm:
-                        both = _k_minmax_pair_nf(v, li, ri, ok, rt_)
-                        shared_mm[("mm", key, "min")] = both[0]
-                        shared_mm[("mm", key, "max")] = both[1]
-                    return shared_mm[ck]
+                    if ("rank", key) not in shared_mm:
+                        shared_mm[("rank", key)] = _k_rank_nf(v)
+                        shared_mm[("vals", key)] = \
+                            _k_sorted_vals_nf(v)
+                    rk = shared_mm[("rank", key)]
+                    vo = shared_mm[("vals", key)]
+                    red = _k_minmax_from_rank(rk, li, ri, op)
+                    return _k_value_from_sorted(vo, red, ok, rt_, op)
             else:
                 def mm_thunk(v=sv, op=name, rt_=rtype):
                     red = _k_minmax_rank(v, li, ri, ok, rt_, op)
