@@ -564,10 +564,6 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
     out = {}
     shared_mm: dict = {}   # per-call memo: rank/value sorts shared by
     #                        min+max over the same null-free column
-    mm_ops: dict = {}      # id(rcol) -> set of requested min/max ops
-    for _sid, name, rcol, _rt in aggs:
-        if name in ("min", "max"):
-            mm_ops.setdefault(id(rcol), set()).add(name)
     for out_sid, name, rcol, rtype in aggs:
         sv = spays[pay_slot[id(rcol)]] if name != "count" else None
         if name == "count":
