@@ -218,6 +218,29 @@ def main():
              "(at trades 'ts)) trades quotes "
              "{mx: (max p) mn: (min p)})", 59145.6, 2)
 
+    # asof join, detail-only (the reference publishes no standalone
+    # asof baseline; examples/aj.rfl scale: 10M trades x 20M quotes)
+    try:
+        def aj_once():
+            t0 = time.perf_counter()
+            res = rt.eval_str("(asof-join [sym ts] trades quotes)")
+            _, cols_ = res.v
+            devarrs = [c.pending().arr for c in cols_
+                       if c.pending() is not None]
+            import jax as _j
+            _j.block_until_ready(devarrs)
+            return (time.perf_counter() - t0) * 1000, res
+        aj_once()
+        times = [aj_once()[0] for _ in range(2)]
+        stats["aj"] = {"min": round(min(times), 1),
+                       "avg": round(sum(times) / len(times), 1),
+                       "max": round(max(times), 1)}
+        results["aj"] = min(times)
+        log(f"aj: {min(times):.1f} ms (detail-only, no published "
+            f"baseline) rows={NT}")
+    except Exception as e:
+        log(f"aj: FAILED {e}")
+
     geo = float(np.exp(np.mean(np.log(np.maximum(speedups, 1e-9)))))
 
     if record:
