@@ -192,3 +192,42 @@ def test_two_messages_one_packet():
         c.close()
     finally:
         stop.set(); t.join(timeout=2); server.stop()
+
+
+def test_device_result_over_ipc():
+    """A query whose result is DEVICE-RESIDENT (DevPendingSliced
+    lanes) must serialize over the wire transparently."""
+    import numpy as np
+    from rayforce_tpu.engine import device as dev
+    srv_rt = Runtime()
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        from rayforce_tpu.core.obj import Obj, table, vec_sym
+        from rayforce_tpu.core import types as T, symbols
+        rng = np.random.default_rng(9)
+        n = 4000
+        srv_rt.interp.globals[symbols.intern("t")] = table(
+            vec_sym(["k", "v"]),
+            [Obj(T.I64, rng.integers(0, 700, n).astype(np.int64)),
+             Obj(T.I64, rng.integers(0, 50, n).astype(np.int64))])
+        server, port, stop, t = _spin_server(srv_rt)
+        try:
+            cli = Runtime()
+            h = int(cli.eval_str(f'(hopen "127.0.0.1:{port}")').v)
+            r = cli.eval_str(
+                f'(write {h} "(select {{s: (sum v) from: t by: k}})")')
+            assert r.t == T.TABLE and 650 < len(r) <= 700
+            s = cli.eval_str(f'(write {h} "(sum (at (select '
+                             f'{{s: (sum v) from: t by: k}}) \'s))")')
+            import numpy as _np
+            total = int(_np.sum(
+                __import__("rayforce_tpu.core.obj",
+                           fromlist=["to_np"]).to_np(
+                    srv_rt.interp.globals[symbols.intern("t")]
+                    .v[1][1])))
+            assert int(s.v) == total
+        finally:
+            stop.set(); t.join(timeout=2); server.stop()
+    finally:
+        dev.set_enabled(True)

@@ -148,3 +148,65 @@ def test_window_join_fuzz(seed):
             s_host = fmt(rt.eval_str(q))
             dev.set_enabled(True)
             assert s_dev == s_host, (seed, w, q)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_serde_fuzz(seed):
+    """Random nested objects survive ser -> de with identical
+    formatting (the wire format used by IPC and blob files)."""
+    from rayforce_tpu.storage import serde
+    rnd = random.Random(4000 + seed)
+    rng = np.random.default_rng(4000 + seed)
+    rt = Runtime()
+
+    def rand_obj(depth=0):
+        kinds = ["i64v", "f64v", "symv", "str", "atom", "b8v"]
+        if depth < 2:
+            kinds += ["list", "dict", "table"]
+        k = rnd.choice(kinds)
+        n = rnd.randint(0, 6)
+        if k == "i64v":
+            a = rng.integers(-100, 100, n).astype(np.int64)
+            if n and rnd.random() < 0.4:
+                a[0] = T.NULL_I64
+            return Obj(T.I64, a)
+        if k == "f64v":
+            a = rng.uniform(-10, 10, n)
+            if n and rnd.random() < 0.4:
+                a[0] = np.nan
+            return Obj(T.F64, a)
+        if k == "symv":
+            return Obj(T.SYMBOL, np.asarray(
+                [symbols.intern(f"s{rnd.randint(0, 5)}")
+                 for _ in range(n)], dtype=np.int64))
+        if k == "b8v":
+            return Obj(T.B8, rng.integers(0, 2, n).astype(np.int8))
+        if k == "str":
+            from rayforce_tpu.core.obj import string
+            return string("".join(rnd.choice("abc xyz\"\\n")
+                                  for _ in range(n)))
+        if k == "atom":
+            return Obj(-T.I64, np.int64(rnd.randint(-50, 50)))
+        if k == "list":
+            from rayforce_tpu.core.obj import list_
+            return list_([rand_obj(depth + 1)
+                          for _ in range(rnd.randint(0, 4))])
+        if k == "dict":
+            from rayforce_tpu.core.obj import dict_, list_
+            m = rnd.randint(1, 4)
+            keys = Obj(T.SYMBOL, np.asarray(
+                [symbols.intern(f"k{i}") for i in range(m)],
+                dtype=np.int64))
+            return dict_(keys, list_([rand_obj(depth + 1)
+                                      for _ in range(m)]))
+        m = rnd.randint(1, 3)
+        nrows = rnd.randint(0, 5)
+        return table(vec_sym([f"c{i}" for i in range(m)]),
+                     [Obj(T.I64, rng.integers(0, 9, nrows)
+                          .astype(np.int64)) for _ in range(m)])
+
+    for _ in range(25):
+        o = rand_obj()
+        b = serde.ser_payload(o)
+        o2 = serde.de_payload(bytes(b), rt.interp.env)
+        assert fmt(o) == fmt(o2), (seed, fmt(o))
