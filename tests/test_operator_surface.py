@@ -145,3 +145,36 @@ def test_progress_noop_without_tty():
     for _ in range(10):
         p.step()
     p.finish()   # must not raise or print when stderr isn't a tty
+
+
+def test_update_over_device_result():
+    """update/insert over a table whose columns are device-resident
+    query-result lanes (DevPendingSliced) materializes transparently."""
+    from rayforce_tpu.engine import device as dev
+    import numpy as np
+    rt = _rt()
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        rng = np.random.default_rng(5)
+        from rayforce_tpu.core.obj import Obj, table, vec_sym
+        from rayforce_tpu.core import types as T, symbols
+        n = 3000
+        rt.interp.globals[symbols.intern("t")] = table(
+            vec_sym(["k", "v"]),
+            [Obj(T.I64, rng.integers(0, 600, n).astype(np.int64)),
+             Obj(T.I64, rng.integers(0, 50, n).astype(np.int64))])
+        rt.eval_str("(set g (select {s: (sum v) from: t by: k}))")
+        rt.eval_str("(set g (update {s: (+ s 1) from: g "
+                    "where: (> s 100)}))")
+        out = fmt(rt.eval_str("(select {mx: (max s) c: (count s) "
+                              "from: g})"))
+        dev.set_enabled(False)
+        rt.eval_str("(set g2 (select {s: (sum v) from: t by: k}))")
+        rt.eval_str("(set g2 (update {s: (+ s 1) from: g2 "
+                    "where: (> s 100)}))")
+        out2 = fmt(rt.eval_str("(select {mx: (max s) c: (count s) "
+                               "from: g2})"))
+        assert out == out2
+    finally:
+        dev.set_enabled(True)
