@@ -347,13 +347,27 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, aggs):
                 lanes[lane] = s.astype(T.DTYPE[ot])
 
         # ---- first-appearance ordering: carry lanes through ONE sort ----
-        fkey = jnp.where(flags, fidx, jnp.int64(G.KEY_MAX))
+        # narrow carried words where bounds allow: positions fit i32
+        # (n_rows < 2^30), counts fit i32 — each 64-bit operand in a
+        # 10M-row sort costs ~2x an i32 one (TPU_NOTES.md)
+        fkey = jnp.where(flags, fidx,
+                         jnp.int64(0x7FFFFFFF)).astype(jnp.int32)
         carry_names = list(lanes.keys())
+        carried = []
+        shrunk = set()
+        for nm in carry_names:
+            ln = lanes[nm]
+            if nm.startswith("count:") and n_rows < (1 << 31):
+                ln = ln.astype(jnp.int32)
+                shrunk.add(nm)
+            carried.append(ln)
         sorted2 = jax.lax.sort(
-            [fkey] + code_words + [lanes[nm] for nm in carry_names],
-            num_keys=1, is_stable=False)
+            [fkey] + code_words + carried, num_keys=1,
+            is_stable=False)
         cw_o = sorted2[1:1 + n_words]
-        lane_o = dict(zip(carry_names, sorted2[1 + n_words:]))
+        lane_o = {}
+        for nm, ln in zip(carry_names, sorted2[1 + n_words:]):
+            lane_o[nm] = ln.astype(jnp.int64) if nm in shrunk else ln
 
         # decode key dims from ordered code words (elementwise)
         out = []
