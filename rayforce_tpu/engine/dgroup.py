@@ -3,11 +3,18 @@ mid/high-cardinality group-by out over the device mesh.
 
 When RAYFORCE_MESH is active, a grouped select whose shape the
 distributed kernel covers (single packed code word, aggregates from
-{count, sum, avg} over one column) runs as the partial-aggregate
-all_to_all exchange of parallel/dist.py:dist_wide_groupby — the
-reference's radix-partition grouping (core/index.c:2556) across chips —
-instead of the single-chip engines. Unsupported shapes fall back to the
-single-chip sortagg/wide plans (still correct: columns land unsharded).
+{count, sum, avg, min, max} over plain columns, nullable included) runs
+as the partial-aggregate all_to_all exchange of
+parallel/dist.py:dist_wide_groupby — the reference's radix-partition
+grouping (core/index.c:2556) across chips — instead of the single-chip
+engines. Each distinct (combiner, column, transform) triple rides its
+own f64 exchange lane with the matching decomposable combiner (the
+reference's AGGR_COLLECT merge, core/aggr.c:163-181); nullable columns
+add shared flag lanes (any-null for sum propagation, any-non-null for
+min/max all-null groups) reproducing the host's null semantics
+(aggr.c:1241 typed-INF min init, NULL-propagating plain sums).
+Unsupported shapes fall back to the single-chip sortagg/wide plans
+(still correct: columns land unsharded).
 """
 from __future__ import annotations
 
@@ -21,11 +28,12 @@ from . import device as dev
 
 SUM_OUT = {T.U8: T.I64, T.I16: T.I64, T.I32: T.I32, T.I64: T.I64}
 
+_NUMERIC = (T.U8, T.I16, T.I32, T.I64, T.F64)
+
 
 class _DPlan:
     __slots__ = ("mesh", "run_kernel", "col_objs", "key_meta", "aggs",
-                 "w_map", "key_maps", "val_map", "val_cid", "n_rows",
-                 "cw", "key_cs", "val_expr", "code_builder")
+                 "n_rows", "agg_lane", "lane_ops")
 
 
 def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
@@ -33,36 +41,74 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
     covered (caller falls back to the single-chip engines)."""
     if n_codes > (1 << 61) or n_rows == 0:
         return None
-    # aggregates: count / sum / avg over at most ONE distinct column
-    val_cid = None
-    val_expr = None
-    for a in aggs:
+    # aggregates: count / sum / avg / min / max over plain numeric
+    # columns; one f64 exchange lane per distinct (combiner, column,
+    # transform). Nullable columns add exact flag lanes instead of
+    # sentinel-compare tricks (so +/-inf DATA values stay correct).
+    lane_ops: list = []     # combiner per lane: sum | min | max
+    lane_exprs: list = []   # (value expr, transform) per lane
+    lane_of: dict = {}      # (op, col id, transform) -> lane index
+    agg_lane: dict = {}     # agg position -> lane-role dict or None
+    nullable: dict = {}     # col id -> bool
+    for ai, a in enumerate(aggs):
         if a.name == "count":
+            agg_lane[ai] = None
             continue
-        if a.name not in ("sum", "avg"):
+        if a.name not in ("sum", "avg", "min", "max", "first",
+                          "last"):
             return None
-        if a.inner.rtype not in (T.U8, T.I16, T.I32, T.I64, T.F64):
+        if a.inner.rtype not in _NUMERIC:
             return None
-        cid = id(a.inner)
-        if val_cid is None:
-            val_cid, val_expr = cid, a.inner
-        elif val_cid != cid:
-            return None
-        # null handling: sums/avg over nullable columns need a second
-        # exchange lane — keep those single-chip for now
+        # derived expressions have per-group whole-vector null
+        # semantics (sortagg handles those) — keep them single-chip
         if not a.meta.get("plain_col"):
             return None
+        cid = id(a.inner)
         try:
-            if dev.column_has_null(a.inner.cols[0].col):
-                return None
+            col = a.inner.cols[0].col
+            if cid not in nullable:
+                nullable[cid] = bool(dev.column_has_null(col))
             if a.inner.rtype != T.F64:
-                # sums ride an f64 exchange lane: require exactness
-                lo, hi = dev.column_range(a.inner.cols[0].col)
-                if max(abs(int(lo)), abs(int(hi))) * n_rows >= \
-                        (1 << 53):
+                lo, hi = dev.column_range(col)
+                reach = max(abs(int(lo)), abs(int(hi)))
+                # all lanes are f64: sums need exactness over the whole
+                # column's reach, min/max only per-value
+                lim = (1 << 53) // max(n_rows, 1) \
+                    if a.name in ("sum", "avg") else (1 << 53)
+                if reach >= lim:
                     return None
         except Exception:
             return None
+
+        def lane(op, tf):
+            lk = (op, cid, tf)
+            if lk not in lane_of:
+                lane_of[lk] = len(lane_ops)
+                lane_ops.append(op)
+                lane_exprs.append((a.inner, tf))
+            return lane_of[lk]
+
+        nul = nullable[cid]
+        if a.name == "sum":
+            roles = {"v": lane("sum", "null0" if nul else "raw")}
+            if nul:     # plain sum PROPAGATES nulls (aggr.c ADD accum)
+                roles["anynull"] = lane("max", "isnull")
+        elif a.name == "avg":
+            roles = {"v": lane("sum", "null0" if nul else "raw")}
+            if nul:     # avg SKIPS nulls: divide by non-null count
+                roles["nn"] = lane("sum", "notnull")
+        elif a.name == "min":
+            roles = {"v": lane("min", "mininf" if nul else "raw")}
+            if nul:
+                roles["anyval"] = lane("max", "notnull")
+        elif a.name == "max":
+            roles = {"v": lane("max", "maxninf" if nul else "raw")}
+            if nul:
+                roles["anyval"] = lane("max", "notnull")
+        else:           # first/last: positional, nulls ride through
+            # (int null sentinels are powers of two — exact in f64)
+            roles = {"v": lane(a.name, "raw")}
+        agg_lane[ai] = roles
 
     col_objs: list = []
     slot_of: dict = {}
@@ -79,7 +125,7 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
 
     w_map = assign(cw) if cw is not None else None
     key_maps = [assign(ck) for ck in key_cs]
-    val_map = assign(val_expr) if val_expr is not None else None
+    lane_maps = [assign(e) for e, _tf in lane_exprs]
 
     from ..parallel import dist
     axis = mesh.axis_names[0]
@@ -92,9 +138,11 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
     plan.key_meta = key_meta
     plan.aggs = aggs
     plan.n_rows = n_rows
+    plan.agg_lane = agg_lane
+    plan.lane_ops = tuple(lane_ops)
 
     def code_builder(*cols):
-        """SPMD per-shard codes (i64, -1 = masked/padding) + values."""
+        """SPMD per-shard codes (i64, -1 = masked/padding) + lanes."""
         def sub_env(mapping):
             return [cols[i] for i in mapping]
 
@@ -115,28 +163,52 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
         if codes is None:
             codes = jnp.zeros(nl, jnp.int64)
         codes = jnp.where(mask, codes, jnp.int64(-1))
-        if val_map is not None:
-            vals = jnp.asarray(val_expr.fn(sub_env(val_map))) \
-                .astype(jnp.float64)
-        else:
-            vals = jnp.zeros(nl, jnp.float64)
-        return codes, vals
+
+        def mk_lane(e, tf, mp):
+            raw = jnp.asarray(e.fn(sub_env(mp)))
+            if tf == "raw":
+                return raw.astype(jnp.float64)
+            # null predicate on the TYPED values (the int sentinels of
+            # core/types.py NULL_BY_TYPE; f64 nulls are NaN)
+            if e.rtype == T.F64:
+                nul = jnp.isnan(raw)
+            else:
+                nv = T.NULL_BY_TYPE.get(e.rtype)
+                nul = (raw == raw.dtype.type(nv)) if nv is not None \
+                    else jnp.zeros(raw.shape, bool)
+            if tf == "isnull":
+                return nul.astype(jnp.float64)
+            if tf == "notnull":
+                return (~nul).astype(jnp.float64)
+            v = raw.astype(jnp.float64)
+            if tf == "null0":
+                return jnp.where(nul, jnp.float64(0.0), v)
+            if tf == "mininf":
+                return jnp.where(nul, jnp.float64(np.inf), v)
+            return jnp.where(nul, jnp.float64(-np.inf), v)  # maxninf
+
+        lanes = [mk_lane(e, tf, mp)
+                 for (e, tf), mp in zip(lane_exprs, lane_maps)]
+        return tuple([codes] + lanes)
 
     cap = [max(2 * rows_local, 64)]
     kernels = {}
+    n_lanes = len(lane_ops)
 
     def make(c):
         from jax.sharding import PartitionSpec as P
-        base = dist.dist_wide_groupby(mesh, rows_local, c)
+        base = dist.dist_wide_groupby(mesh, rows_local, c,
+                                      plan.lane_ops)
         sm = dist.shard_map(
             code_builder, mesh=mesh,
             in_specs=tuple(P(axis) for _ in col_objs),
-            out_specs=(P(axis), P(axis)), check_rep=False)
+            out_specs=tuple(P(axis) for _ in range(1 + n_lanes)),
+            check_rep=False)
 
         @jax.jit
         def full(*cs):
-            codes, vals = sm(*cs)
-            return base(codes, vals)
+            outs = sm(*cs)
+            return base(outs[0], *outs[1:])
         return full
 
     def run_kernel(cols):
@@ -159,7 +231,9 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
 
 def run(plan: _DPlan):
     cols = [dev.dev_col_sharded(c, plan.mesh) for c in plan.col_objs]
-    ng, (ocode, osum, ocnt, _fidx) = plan.run_kernel(cols)
+    ng, outs = plan.run_kernel(cols)
+    ocode, ocnt, _fidx = outs[0], outs[1], outs[2]
+    olanes = outs[3:]
     if ng <= 0:
         return "empty"
 
@@ -185,23 +259,61 @@ def run(plan: _DPlan):
             out_cols.append(Obj(rt, DevPendingSliced(
                 vals.astype(T.DTYPE[rt]), ng)))
 
-    for a in plan.aggs:
+    for ai, a in enumerate(plan.aggs):
         out_names.append(a.sid)
+        roles = plan.agg_lane[ai]
+        lane = olanes[roles["v"]] if roles is not None else None
         rt = a.inner.rtype if a.name != "count" else T.I64
         if a.name == "count":
             out_cols.append(Obj(T.I64, DevPendingSliced(
                 ocnt.astype(jnp.int64), ng)))
         elif a.name == "avg":
-            e = ocnt.astype(jnp.float64)
-            v = jnp.where(e == 0, jnp.float64(np.nan), osum / e)
+            e = olanes[roles["nn"]] if "nn" in roles \
+                else ocnt.astype(jnp.float64)
+            v = jnp.where(e == 0, jnp.float64(np.nan), lane / e)
             out_cols.append(Obj(T.F64, DevPendingSliced(v, ng)))
-        elif rt == T.F64:
-            out_cols.append(Obj(T.F64, DevPendingSliced(osum, ng)))
+        elif a.name in ("first", "last"):
+            # positional values: int null sentinels round-trip the f64
+            # lane exactly (powers of two), so a plain cast suffices
+            if rt == T.F64:
+                out_cols.append(Obj(T.F64, DevPendingSliced(lane, ng)))
+            else:
+                out_cols.append(Obj(rt, DevPendingSliced(
+                    lane.astype(T.DTYPE[rt]), ng)))
+        elif a.name in ("min", "max"):
+            # all-null groups: plain grouped min keeps the typed INF
+            # init (aggr.c:1241), plain grouped max yields typed NULL
+            empty = (olanes[roles["anyval"]] == 0) \
+                if "anyval" in roles else None
+            if rt == T.F64:
+                if empty is not None and a.name == "max":
+                    lane = jnp.where(empty, jnp.float64(np.nan), lane)
+                # f64 min: all-null stays +inf (typed INF)
+                out_cols.append(Obj(T.F64, DevPendingSliced(lane, ng)))
+            else:
+                # sentinel substitution AFTER the int cast: f64->int
+                # conversion near 2^63 is not portable across backends
+                li = lane.astype(T.DTYPE[rt])
+                if empty is not None:
+                    sent = np.iinfo(T.DTYPE[rt]).max \
+                        if a.name == "min" \
+                        else T.NULL_BY_TYPE.get(rt, T.NULL_I64)
+                    li = jnp.where(empty, T.DTYPE[rt](sent), li)
+                out_cols.append(Obj(rt, DevPendingSliced(li, ng)))
+        elif rt == T.F64:       # f64 sum: plain sums PROPAGATE nulls
+            if "anynull" in roles:
+                lane = jnp.where(olanes[roles["anynull"]] > 0,
+                                 jnp.float64(np.nan), lane)
+            out_cols.append(Obj(T.F64, DevPendingSliced(lane, ng)))
         else:
             ot = SUM_OUT.get(rt, T.I64)
             # exact while |sum| < 2^53 (the f64 exchange lane); columns
             # with larger reach fall back via build_plan's guards
-            out_cols.append(Obj(ot, DevPendingSliced(
-                osum.astype(T.DTYPE[ot]), ng)))
+            li = lane.astype(T.DTYPE[ot])
+            if "anynull" in roles:
+                nv = T.NULL_BY_TYPE.get(ot, T.NULL_I64)
+                li = jnp.where(olanes[roles["anynull"]] > 0,
+                               T.DTYPE[ot](nv), li)
+            out_cols.append(Obj(ot, DevPendingSliced(li, ng)))
     return table(Obj(T.SYMBOL, np.asarray(out_names, dtype=np.int64)),
                  out_cols)

@@ -26,6 +26,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+
+# i64 keys / f64 lanes everywhere; enabling at import (like engine/
+# device.py) keeps shard_rows outputs 64-bit regardless of import order
+jax.config.update("jax_enable_x64", True)
 try:
     from jax import shard_map as _shard_map
     _CHECK_KW = "check_vma"
@@ -288,19 +292,40 @@ def dist_filter_group_sum(mesh: Mesh, n_codes: int):
 #   stage D: all_gather merged groups; every chip orders them by global
 #     first-row id (first-appearance order, replicated result).
 
-def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int):
-    """Build the jitted distributed group-by-sum/count kernel.
+_LANE_FILL = {"sum": np.float64(0.0), "min": np.float64(np.inf),
+              "max": np.float64(-np.inf), "first": np.float64(0.0),
+              "last": np.float64(0.0)}
 
-    fn(codes, values) with row-sharded i64 codes (masked rows = -1) and
-    f64 values; returns replicated (ng, overflow, codes, sums, counts,
-    fidx) where the first `ng` entries of each lane are the groups in
-    global first-appearance order.
+
+def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int,
+                      lane_ops=("sum",)):
+    """Build the jitted distributed group-by kernel with one f64 value
+    lane per entry of `lane_ops` (each "sum" | "min" | "max" | "first"
+    | "last" — the decomposable combiners of the reference's
+    AGGR_COLLECT merge, core/aggr.c:163-181, plus the positional pair
+    resolved by row id).
+
+    fn(codes, *lanes) with row-sharded i64 codes (masked rows = -1) and
+    len(lane_ops) f64 lanes; returns replicated (ng, overflow, codes,
+    counts, *lane_results) where the first `ng` entries of each output
+    are the groups in global first-appearance order.
+
+    "first"/"last" lanes return the lane value at the group's globally
+    first/last row: per-chip partials keep the boundary value of the
+    (code, pos) sort (first) or the single-marked-row segmented sum
+    (last, exact for any f64 value); the merge resolves first via its
+    (code, first-row-id) sort and last via a second (code, -last-row-id)
+    sort — the code sequence, hence the segment flags, are identical.
     """
     from ..engine import groupby as G
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     C = rows_local
     BIG = np.int32(1 << 30)
+    n_lanes = len(lane_ops)
+    scan_of = {"sum": G.seg_doubling_sum, "min": G.seg_doubling_min,
+               "max": G.seg_doubling_max}
+    has_last = "last" in lane_ops
 
     def _compact(flags, lanes, cap, n):
         """Boundary compaction: positions of flagged rows, ascending,
@@ -312,10 +337,11 @@ def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int):
         bposc = jnp.clip(bpos, 0, n - 1)
         return [ln[bposc] for ln in lanes]
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
-             out_specs=(P(), P(), P(), P(), P(), P()),
+    @partial(shard_map, mesh=mesh,
+             in_specs=tuple(P(axis) for _ in range(1 + n_lanes)),
+             out_specs=tuple(P() for _ in range(5 + n_lanes)),
              check_rep=False)
-    def kernel(codes, values):
+    def kernel(codes, *lanes):
         me = jax.lax.axis_index(axis).astype(jnp.int64)
         n = codes.shape[0]
         pos_bits = max(int(n - 1).bit_length(), 1)
@@ -327,8 +353,9 @@ def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int):
             valid_in,
             (codes << pos_bits) | jnp.arange(n, dtype=jnp.int64),
             jnp.int64(G.KEY_MAX))
-        skey, sval = jax.lax.sort([key, values], num_keys=1,
-                                  is_stable=False)
+        srt = jax.lax.sort([key] + list(lanes), num_keys=1,
+                           is_stable=False)
+        skey, svals = srt[0], srt[1:]
         sc = skey >> pos_bits
         valid = skey != G.KEY_MAX
         flags = valid & jnp.concatenate(
@@ -336,12 +363,36 @@ def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int):
         segid = jnp.cumsum(flags.astype(jnp.int32) +
                            (~valid).astype(jnp.int32))
         rs = segid[::-1]
-        psum_v = G.seg_doubling_sum(rs, sval[::-1])[::-1]
+
+        def rscan(op, x):
+            return scan_of[op](rs, x[::-1])[::-1]
+
+        # last row of each valid segment (trash keys change sc at the
+        # valid/trash boundary, so the plain transition test suffices)
+        is_last = valid & jnp.concatenate(
+            [sc[1:] != sc[:-1], jnp.ones(1, bool)])
+        gpos = ((skey & posmask) + me * n).astype(jnp.float64)
+
+        def stage_a(op, sv):
+            if op == "first":
+                return sv          # boundary row holds the first value
+            if op == "last":       # single marked row -> exact seg sum
+                return rscan("sum", jnp.where(is_last, sv, 0.0))
+            return rscan(op, sv)
+
+        plane_v = [stage_a(op, sv)
+                   for op, sv in zip(lane_ops, svals)]
         pcnt = G.seg_doubling_sum(rs, jnp.ones(n, jnp.int64))[::-1]
         pfidx = (skey & posmask) + me * n       # global row id
-        pcode, psum_c, pcnt_c, pfidx_c = _compact(
-            flags, [jnp.where(flags, sc, -1), psum_v, pcnt, pfidx],
+        extra = [rscan("sum", jnp.where(is_last, gpos, 0.0))] \
+            if has_last else []                 # global LAST row id
+        compacted = _compact(
+            flags,
+            [jnp.where(flags, sc, -1), pcnt, pfidx] + plane_v + extra,
             C, n)
+        pcode, pcnt_c, pfidx_c = compacted[:3]
+        plane_c = compacted[3:3 + n_lanes]
+        plidx_c = compacted[3 + n_lanes] if has_last else None
 
         # ---- stage B: all_to_all by code ownership -------------------
         live = pcode >= 0
@@ -365,48 +416,77 @@ def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int):
                 tiled=False).reshape(-1)
 
         rcode = exchange(pcode, np.int64(-1))
-        rsum = exchange(psum_c, np.float64(0))
         rcnt = exchange(pcnt_c, np.int64(0))
         rfidx = exchange(pfidx_c, np.int64(G.KEY_MAX))
+        rlanes = [exchange(pl, _LANE_FILL[op])
+                  for op, pl in zip(lane_ops, plane_c)]
+        rlidx = exchange(plidx_c, np.float64(-1.0)) if has_last \
+            else None
 
         # ---- stage C: merge received partials ------------------------
         m = n_dev * C
         mkey = jnp.where(rcode >= 0, rcode, jnp.int64(G.KEY_MAX))
-        ms = jax.lax.sort([mkey, rfidx, rsum, rcnt], num_keys=2,
+        ms = jax.lax.sort([mkey, rfidx, rcnt] + rlanes, num_keys=2,
                           is_stable=False)
-        msc, msf, mss, msn = ms
+        msc, msf, msn = ms[0], ms[1], ms[2]
+        mslanes = ms[3:]
         mvalid = msc != G.KEY_MAX
         mflags = mvalid & jnp.concatenate(
             [jnp.ones(1, bool), msc[1:] != msc[:-1]])
         msegid = jnp.cumsum(mflags.astype(jnp.int32) +
                             (~mvalid).astype(jnp.int32))
         mrs = msegid[::-1]
-        tot_s = G.seg_doubling_sum(mrs, mss[::-1])[::-1]
+        if has_last:
+            # second sort keyed (code, -last-row-id): its boundary rows
+            # are the max-lidx partials; code sequence (so mflags) is
+            # identical to the first sort's
+            last_in = [i for i, op in enumerate(lane_ops)
+                       if op == "last"]
+            ms2 = jax.lax.sort(
+                [mkey, -rlidx] + [rlanes[i] for i in last_in],
+                num_keys=2, is_stable=False)
+            last_vals = dict(zip(last_in, ms2[2:]))
+
+        def merge(op, i, ml):
+            if op == "first":
+                return ml          # boundary row = min-fidx partial
+            if op == "last":
+                return last_vals[i]
+            return scan_of[op](mrs, ml[::-1])[::-1]
+
+        tot_lanes = [merge(op, i, ml) for i, (op, ml)
+                     in enumerate(zip(lane_ops, mslanes))]
         tot_n = G.seg_doubling_sum(mrs, msn[::-1])[::-1]
         my_ng = mflags.sum().astype(jnp.int32)
         overflow = jnp.maximum(my_ng - out_cap, 0)
-        gcode, gsum, gcnt, gfidx = _compact(
-            mflags, [jnp.where(mflags, msc, -1), tot_s, tot_n, msf],
+        gout = _compact(
+            mflags,
+            [jnp.where(mflags, msc, -1), tot_n, msf] + tot_lanes,
             out_cap, m)
+        gcode, gcnt, gfidx = gout[:3]
+        glanes = gout[3:]
 
         # ---- stage D: all_gather + global first-appearance order -----
         acode = jax.lax.all_gather(gcode, axis).reshape(-1)
-        asum = jax.lax.all_gather(gsum, axis).reshape(-1)
         acnt = jax.lax.all_gather(gcnt, axis).reshape(-1)
         afidx = jax.lax.all_gather(gfidx, axis).reshape(-1)
+        alanes = [jax.lax.all_gather(gl, axis).reshape(-1)
+                  for gl in glanes]
         fkey = jnp.where(acode >= 0, afidx, jnp.int64(G.KEY_MAX))
-        oc, of, osum, ocnt = jax.lax.sort(
-            [fkey, acode, asum, acnt], num_keys=1, is_stable=False)
+        out = jax.lax.sort([fkey, acode, acnt] + alanes,
+                           num_keys=1, is_stable=False)
+        of, ocnt = out[1], out[2]
         ng = (of >= 0).sum().astype(jnp.int64)
         ovf = jax.lax.psum(overflow, axis)
-        return (jnp.reshape(ng, (1,)),
-                jnp.reshape(ovf.astype(jnp.int64), (1,)),
-                of, osum, ocnt, oc)
+        return tuple([jnp.reshape(ng, (1,)),
+                      jnp.reshape(ovf.astype(jnp.int64), (1,)),
+                      of, ocnt, out[0]] + list(out[3:]))
 
     return jax.jit(kernel)
 
 
-def dist_wide_groupby_auto(mesh: Mesh, rows_local: int):
+def dist_wide_groupby_auto(mesh: Mesh, rows_local: int,
+                           lane_ops=("sum",)):
     """Overflow-safe wrapper: run with balanced capacity + headroom,
     re-run with doubled merge capacity if any chip overflowed (the
     reference's retry analogue for its capacity-bounded radix buckets;
@@ -414,14 +494,16 @@ def dist_wide_groupby_auto(mesh: Mesh, rows_local: int):
     cap = max(2 * rows_local, 64)
     tried = {}
 
-    def run(codes, values):
+    def run(codes, *lanes):
         c = cap
         while True:
             if c not in tried:
-                tried[c] = dist_wide_groupby(mesh, rows_local, c)
-            ng, ovf, code, s, cnt, fidx = tried[c](codes, values)
-            if int(np.asarray(ovf)[0]) == 0:
-                return ng, code, s, cnt, fidx
+                tried[c] = dist_wide_groupby(mesh, rows_local, c,
+                                             lane_ops)
+            out = tried[c](codes, *lanes)
+            if int(np.asarray(out[1])[0]) == 0:
+                # (ng, codes, counts, fidx, *lane_results)
+                return (out[0],) + out[2:]
             c *= 2
 
     return run

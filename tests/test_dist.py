@@ -193,7 +193,7 @@ def test_dist_wide_groupby(mesh8):
     cd, _ = dist.shard_rows(mesh8, codes)
     vd, _ = dist.shard_rows(mesh8, vals)
     run = dist.dist_wide_groupby_auto(mesh8, per)
-    ng, code, s, cnt, fidx = run(cd, vd)
+    ng, code, cnt, fidx, s = run(cd, vd)
     ng = int(np.asarray(ng)[0])
     code = np.asarray(code)[:ng]
     s = np.asarray(s)[:ng]
@@ -231,7 +231,7 @@ def test_dist_wide_groupby_skewed(mesh8):
     cd, _ = dist.shard_rows(mesh8, codes)
     vd, _ = dist.shard_rows(mesh8, vals)
     run = dist.dist_wide_groupby_auto(mesh8, per)
-    ng, code, s, cnt, fidx = run(cd, vd)
+    ng, code, cnt, fidx, s = run(cd, vd)
     ng = int(np.asarray(ng)[0])
     code = np.asarray(code)[:ng]
     cnt = np.asarray(cnt)[:ng]
@@ -240,6 +240,41 @@ def test_dist_wide_groupby_skewed(mesh8):
     assert cnt[hh[0]] == int((codes == 137).sum())
     s_hh = float(np.asarray(s)[hh[0]])
     assert abs(s_hh - vals[codes == 137].sum()) < 1e-9
+
+
+def test_dist_wide_groupby_lanes(mesh8):
+    """Multi-lane exchange: sum, min, and max combiners over two value
+    columns in one kernel (the decomposable AGGR_COLLECT merges)."""
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(7)
+    per = 512
+    n = 8 * per
+    codes = rng.integers(0, 900, n).astype(np.int64)
+    codes[rng.random(n) < 0.15] = -1
+    va = rng.uniform(-50, 50, n)
+    vb = rng.uniform(0, 1000, n)
+    cd, _ = dist.shard_rows(mesh8, codes)
+    vad, _ = dist.shard_rows(mesh8, va)
+    vbd, _ = dist.shard_rows(mesh8, vb)
+    run = dist.dist_wide_groupby_auto(
+        mesh8, per, lane_ops=("sum", "min", "max", "first", "last"))
+    ng, code, cnt, fidx, s, mn, mx, fv, lv = run(
+        cd, vad, vad, vbd, vbd, vbd)
+    ng = int(np.asarray(ng)[0])
+    code = np.asarray(code)[:ng]
+    s = np.asarray(s)[:ng]
+    mn = np.asarray(mn)[:ng]
+    mx = np.asarray(mx)[:ng]
+    fv = np.asarray(fv)[:ng]
+    lv = np.asarray(lv)[:ng]
+    keep = codes >= 0
+    for i, c in enumerate(code):
+        sel = np.nonzero(keep & (codes == c))[0]
+        assert abs(s[i] - va[sel].sum()) < 1e-8, c
+        assert mn[i] == va[sel].min(), c
+        assert mx[i] == vb[sel].max(), c
+        assert fv[i] == vb[sel[0]], c
+        assert lv[i] == vb[sel[-1]], c
 
 
 def test_dist_left_probe(mesh8):
@@ -322,17 +357,39 @@ def test_mesh_wide_select_parity(mesh8):
         k2 = rng.integers(0, 50, n).astype(np.int64)
         v = rng.uniform(0, 10, n)
         w = rng.integers(0, 100, n).astype(np.int64)
+        # nullable columns: f64 with NaNs, i64 with sentinel nulls —
+        # dense enough that some groups are ALL-null
+        nf = rng.uniform(0, 10, n)
+        nf[rng.random(n) < 0.5] = np.nan
+        ni = rng.integers(-20, 20, n).astype(np.int64)
+        ni[rng.random(n) < 0.5] = T.NULL_I64
         rt = Runtime()
         rt.interp.globals[symbols.intern("t")] = table(
-            vec_sym(["k1", "k2", "v", "w"]),
+            vec_sym(["k1", "k2", "v", "w", "nf", "ni"]),
             [Obj(T.I64, k1), Obj(T.I64, k2), Obj(T.F64, v),
-             Obj(T.I64, w)])
+             Obj(T.I64, w), Obj(T.F64, nf), Obj(T.I64, ni)])
         for q in [
             "(select {s: (sum v) c: (count v) from: t "
             "by: {k1: k1 k2: k2}})",
             "(select {a: (avg v) from: t by: {k1: k1 k2: k2} "
             "where: (> w 30)})",
             "(select {s: (sum w) from: t by: k1})",
+            # multi-lane: min/max combiners + two distinct columns
+            "(select {mx: (max v) mn: (min w) s: (sum v) from: t "
+            "by: k1})",
+            "(select {mn: (min v) mx: (max v) c: (count v) from: t "
+            "by: {k1: k1 k2: k2} where: (< w 70)})",
+            # nullable lanes: null-propagating plain sums, null-
+            # skipping avg/min/max, all-null groups (typed INF min /
+            # typed NULL max / NaN avg)
+            "(select {s: (sum nf) a: (avg nf) mn: (min nf) "
+            "mx: (max nf) c: (count nf) from: t by: k1})",
+            "(select {s: (sum ni) a: (avg ni) mn: (min ni) "
+            "mx: (max ni) from: t by: {k1: k1 k2: k2}})",
+            # positional first/last lanes (incl. null values riding
+            # through the f64 exchange exactly)
+            "(select {f: (first v) l: (last w) fi: (first ni) "
+            "ln: (last nf) from: t by: k1})",
         ]:
             dev.set_enabled(True)
             s_dev = fmt(rt.eval_str(q))
@@ -431,6 +488,48 @@ def test_mesh_asof_join_parity(mesh8):
         s_host = fmt(rt.eval_str(q))
         dev.set_enabled(True)
         assert s_dev == s_host
+    finally:
+        os.environ.pop("RAYFORCE_MESH", None)
+        dev._mesh_state.clear()
+        dev._mesh_state.update(old_state)
+        dev._cfg["threshold"] = old_thresh
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_mesh_select_fuzz(mesh8, seed):
+    """Randomized mesh-vs-host select parity: the same generated
+    table/query space as test_device_fuzz, but with RAYFORCE_MESH
+    active — every query either runs on a distributed engine
+    (spmd-small or dist-group) or falls back, and must match the host
+    kernels exactly either way."""
+    import random
+    from test_device_fuzz import _mk_table, _mk_query
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import device as dev
+    from rayforce_tpu.core import symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    old_state = dict(dev._mesh_state)
+    old_thresh = dev._cfg["threshold"]
+    os.environ["RAYFORCE_MESH"] = "8"
+    dev._mesh_state.update({"mesh": None, "checked": False})
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        assert dev.mesh() is not None
+        rng = np.random.default_rng(500 + seed)
+        rnd = random.Random(500 + seed)
+        rt = Runtime()
+        rt.interp.globals[symbols.intern("t")] = _mk_table(
+            rng, rnd.choice([1013, 4001]))
+        for _ in range(6):
+            q = _mk_query(rnd)
+            dev.set_enabled(True)
+            s_dev = fmt(rt.eval_str(q))
+            dev.set_enabled(False)
+            s_host = fmt(rt.eval_str(q))
+            dev.set_enabled(True)
+            assert s_dev == s_host, q
     finally:
         os.environ.pop("RAYFORCE_MESH", None)
         dev._mesh_state.clear()
