@@ -52,8 +52,15 @@ def main(argv=None):
 
     code = 0
     if script:
+        from ..core import profiler
         try:
+            if profiler.enabled:
+                profiler.reset()
             rt.eval_str(open(script).read())
+            if profiler.enabled:
+                rep = profiler.report()
+                if rep:
+                    print(rep, file=sys.stderr)
         except SystemExit as e:
             code = e.code or 0
             if port is None and not interactive:
