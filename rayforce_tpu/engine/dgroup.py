@@ -55,7 +55,7 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             agg_lane[ai] = None
             continue
         if a.name not in ("sum", "avg", "min", "max", "first",
-                          "last"):
+                          "last", "dev"):
             return None
         if a.inner.rtype not in _NUMERIC:
             return None
@@ -68,8 +68,8 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             col = a.inner.cols[0].col
             if cid not in nullable:
                 nullable[cid] = bool(dev.column_has_null(col))
+            lo, hi = dev.column_range(col)
             if a.inner.rtype != T.F64:
-                lo, hi = dev.column_range(col)
                 reach = max(abs(int(lo)), abs(int(hi)))
                 # all lanes are f64: sums need exactness over the whole
                 # column's reach, min/max only per-value
@@ -77,6 +77,9 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
                     if a.name in ("sum", "avg") else (1 << 53)
                 if reach >= lim:
                     return None
+            if a.name == "dev" and not (
+                    np.isfinite(lo) and np.isfinite(hi)):
+                return None
         except Exception:
             return None
 
@@ -105,9 +108,19 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             roles = {"v": lane("max", "maxninf" if nul else "raw")}
             if nul:
                 roles["anyval"] = lane("max", "notnull")
-        else:           # first/last: positional, nulls ride through
-            # (int null sentinels are powers of two — exact in f64)
+        elif a.name in ("first", "last"):
+            # positional, nulls ride through (int null sentinels are
+            # powers of two — exact in f64)
             roles = {"v": lane(a.name, "raw")}
+        else:           # dev: globally-shifted sum moments (the
+            # distributed analogue of sortagg's seg-min shift; the
+            # column midpoint conditions E[x'^2]-E[x']^2 well enough
+            # for fmt-precision parity since |x'| <= span/2)
+            c = float(lo + (hi - lo) / 2.0)
+            roles = {"v": lane("sum", ("shift", c)),
+                     "v2": lane("sum", ("shiftsq", c))}
+            if nul:     # dev SKIPS nulls
+                roles["nn"] = lane("sum", "notnull")
         agg_lane[ai] = roles
 
     col_objs: list = []
@@ -181,6 +194,10 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             if tf == "notnull":
                 return (~nul).astype(jnp.float64)
             v = raw.astype(jnp.float64)
+            if isinstance(tf, tuple):       # ("shift"|"shiftsq", c)
+                sh = v - jnp.float64(tf[1])
+                m = sh if tf[0] == "shift" else sh * sh
+                return jnp.where(nul, jnp.float64(0.0), m)
             if tf == "null0":
                 return jnp.where(nul, jnp.float64(0.0), v)
             if tf == "mininf":
@@ -272,6 +289,15 @@ def run(plan: _DPlan):
                 else ocnt.astype(jnp.float64)
             v = jnp.where(e == 0, jnp.float64(np.nan), lane / e)
             out_cols.append(Obj(T.F64, DevPendingSliced(v, ng)))
+        elif a.name == "dev":
+            e = olanes[roles["nn"]] if "nn" in roles \
+                else ocnt.astype(jnp.float64)
+            safe = jnp.where(e == 0, jnp.float64(1.0), e)
+            mean = lane / safe
+            var = olanes[roles["v2"]] / safe - mean * mean
+            v = jnp.sqrt(jnp.maximum(var, 0.0))
+            out_cols.append(Obj(T.F64, DevPendingSliced(
+                jnp.where(e == 0, jnp.float64(np.nan), v), ng)))
         elif a.name in ("first", "last"):
             # positional values: int null sentinels round-trip the f64
             # lane exactly (powers of two), so a plain cast suffices

@@ -218,24 +218,29 @@ def _build_plan(src, outs, where_ast, by_ast):
     if aggs is None:
         return None
 
-    if n_codes > dev._cfg["dense_max"]:
-        from . import wide
-        return wide.build_plan(src, n_rows, cw, key_cs, key_meta,
-                               aggs)
-
     small = n_codes <= G.SMALL_N
     has_dev = any(a.name == "dev" for a in aggs)
     if by_pairs and (not small or has_dev):
         m = dev.mesh()
         if m is not None:
             # mesh mode: fan the grouped select out over the chips
-            # (partial-aggregate all_to_all exchange); shapes the
-            # distributed kernel doesn't cover run single-chip
+            # (partial-aggregate all_to_all exchange) — including
+            # beyond the single-chip dense ceiling: the exchange
+            # carries raw i64 codes, so any single-word space
+            # (< 2^61) distributes; shapes the distributed kernel
+            # doesn't cover run single-chip
             from . import dgroup
             dp = dgroup.build_plan(src, n_rows, cw, key_cs, key_meta,
                                    n_codes, aggs, m)
             if dp is not None:
                 return dp
+
+    if n_codes > dev._cfg["dense_max"]:
+        from . import wide
+        return wide.build_plan(src, n_rows, cw, key_cs, key_meta,
+                               aggs)
+
+    if by_pairs and (not small or has_dev):
         # mid-cardinality (or dev-needing) grouped select: the
         # sort+compaction engine (engine/sortagg.py)
         from . import sortagg

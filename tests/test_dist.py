@@ -390,6 +390,14 @@ def test_mesh_wide_select_parity(mesh8):
             # through the f64 exchange exactly)
             "(select {f: (first v) l: (last w) fi: (first ni) "
             "ln: (last nf) from: t by: k1})",
+            # dev via globally-shifted sum moments (incl. nullable
+            # and int columns)
+            "(select {d: (dev v) a: (avg v) from: t by: k1})",
+            "(select {d: (dev nf) di: (dev w) from: t by: k1})",
+            # beyond the single-chip dense ceiling (4.5M-code space):
+            # the exchange distributes what used to go to wide.py
+            "(select {s: (sum v) c: (count v) from: t "
+            "by: {a: k1 b: k2 c2: w}})",
         ]:
             dev.set_enabled(True)
             s_dev = fmt(rt.eval_str(q))
