@@ -32,8 +32,8 @@ _NUMERIC = (T.U8, T.I16, T.I32, T.I64, T.F64)
 
 
 class _DPlan:
-    __slots__ = ("mesh", "run_kernel", "col_objs", "key_meta", "aggs",
-                 "n_rows", "agg_lane", "lane_ops")
+    __slots__ = ("mesh", "run_kernel", "run_med", "col_objs",
+                 "key_meta", "aggs", "n_rows", "agg_lane", "lane_ops")
 
 
 def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
@@ -48,6 +48,8 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
     lane_ops: list = []     # combiner per lane: sum | min | max
     lane_exprs: list = []   # (value expr, transform) per lane
     lane_of: dict = {}      # (op, col id, transform) -> lane index
+    med_exprs: list = []    # value exprs for the median shuffle kernel
+    med_of: dict = {}       # col id -> median lane index
     agg_lane: dict = {}     # agg position -> lane-role dict or None
     nullable: dict = {}     # col id -> bool
     for ai, a in enumerate(aggs):
@@ -55,7 +57,7 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             agg_lane[ai] = None
             continue
         if a.name not in ("sum", "avg", "min", "max", "first",
-                          "last", "dev"):
+                          "last", "dev", "med"):
             return None
         if a.inner.rtype not in _NUMERIC:
             return None
@@ -112,6 +114,13 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             # positional, nulls ride through (int null sentinels are
             # powers of two — exact in f64)
             roles = {"v": lane(a.name, "raw")}
+        elif a.name == "med":
+            # not decomposable: rides the raw-row shuffle kernel
+            # (dist_med_groupby) instead of the partial exchange
+            if cid not in med_of:
+                med_of[cid] = len(med_exprs)
+                med_exprs.append((a.inner, "nanify"))
+            roles = {"med": med_of[cid]}
         else:           # dev: globally-shifted sum moments (the
             # distributed analogue of sortagg's seg-min shift; the
             # column midpoint conditions E[x'^2]-E[x']^2 well enough
@@ -139,6 +148,7 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
     w_map = assign(cw) if cw is not None else None
     key_maps = [assign(ck) for ck in key_cs]
     lane_maps = [assign(e) for e, _tf in lane_exprs]
+    med_maps = [assign(e) for e, _tf in med_exprs]
 
     from ..parallel import dist
     axis = mesh.axis_names[0]
@@ -154,73 +164,87 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
     plan.agg_lane = agg_lane
     plan.lane_ops = tuple(lane_ops)
 
-    def code_builder(*cols):
-        """SPMD per-shard codes (i64, -1 = masked/padding) + lanes."""
-        def sub_env(mapping):
-            return [cols[i] for i in mapping]
+    def make_builder(exprs, maps):
+        """SPMD builder: per-shard codes (i64, -1 = masked/padding)
+        followed by one f64 lane per (expr, transform) pair."""
+        def builder(*cols):
+            def sub_env(mapping):
+                return [cols[i] for i in mapping]
 
-        nl = cols[0].shape[0] if cols else rows_local
-        me = jax.lax.axis_index(axis).astype(jnp.int64)
-        real = me * rows_local + jnp.arange(
-            nl, dtype=jnp.int64) < n_rows
-        mask = real
-        if cw is not None:
-            mask = mask & jnp.asarray(cw.fn(sub_env(w_map))).astype(
-                bool)
-        codes = None
-        for ck, mp, (_nm, lo, rng, _rt, _dom) in zip(
-                key_cs, key_maps, key_meta):
-            arr = jnp.asarray(ck.fn(sub_env(mp)))
-            cc = arr.astype(jnp.int64) - np.int64(lo)
-            codes = cc if codes is None else codes * np.int64(rng) + cc
-        if codes is None:
-            codes = jnp.zeros(nl, jnp.int64)
-        codes = jnp.where(mask, codes, jnp.int64(-1))
+            nl = cols[0].shape[0] if cols else rows_local
+            me = jax.lax.axis_index(axis).astype(jnp.int64)
+            real = me * rows_local + jnp.arange(
+                nl, dtype=jnp.int64) < n_rows
+            mask = real
+            if cw is not None:
+                mask = mask & jnp.asarray(
+                    cw.fn(sub_env(w_map))).astype(bool)
+            codes = None
+            for ck, mp, (_nm, lo, rng, _rt, _dom) in zip(
+                    key_cs, key_maps, key_meta):
+                arr = jnp.asarray(ck.fn(sub_env(mp)))
+                cc = arr.astype(jnp.int64) - np.int64(lo)
+                codes = cc if codes is None \
+                    else codes * np.int64(rng) + cc
+            if codes is None:
+                codes = jnp.zeros(nl, jnp.int64)
+            codes = jnp.where(mask, codes, jnp.int64(-1))
 
-        def mk_lane(e, tf, mp):
-            raw = jnp.asarray(e.fn(sub_env(mp)))
-            if tf == "raw":
-                return raw.astype(jnp.float64)
-            # null predicate on the TYPED values (the int sentinels of
-            # core/types.py NULL_BY_TYPE; f64 nulls are NaN)
-            if e.rtype == T.F64:
-                nul = jnp.isnan(raw)
-            else:
-                nv = T.NULL_BY_TYPE.get(e.rtype)
-                nul = (raw == raw.dtype.type(nv)) if nv is not None \
-                    else jnp.zeros(raw.shape, bool)
-            if tf == "isnull":
-                return nul.astype(jnp.float64)
-            if tf == "notnull":
-                return (~nul).astype(jnp.float64)
-            v = raw.astype(jnp.float64)
-            if isinstance(tf, tuple):       # ("shift"|"shiftsq", c)
-                sh = v - jnp.float64(tf[1])
-                m = sh if tf[0] == "shift" else sh * sh
-                return jnp.where(nul, jnp.float64(0.0), m)
-            if tf == "null0":
-                return jnp.where(nul, jnp.float64(0.0), v)
-            if tf == "mininf":
-                return jnp.where(nul, jnp.float64(np.inf), v)
-            return jnp.where(nul, jnp.float64(-np.inf), v)  # maxninf
+            def mk_lane(e, tf, mp):
+                raw = jnp.asarray(e.fn(sub_env(mp)))
+                if tf == "raw":
+                    return raw.astype(jnp.float64)
+                # null predicate on the TYPED values (the int
+                # sentinels of core/types.py NULL_BY_TYPE; f64 nulls
+                # are NaN)
+                if e.rtype == T.F64:
+                    nul = jnp.isnan(raw)
+                else:
+                    nv = T.NULL_BY_TYPE.get(e.rtype)
+                    nul = (raw == raw.dtype.type(nv)) \
+                        if nv is not None \
+                        else jnp.zeros(raw.shape, bool)
+                if tf == "isnull":
+                    return nul.astype(jnp.float64)
+                if tf == "notnull":
+                    return (~nul).astype(jnp.float64)
+                v = raw.astype(jnp.float64)
+                if isinstance(tf, tuple):   # ("shift"|"shiftsq", c)
+                    sh = v - jnp.float64(tf[1])
+                    m = sh if tf[0] == "shift" else sh * sh
+                    return jnp.where(nul, jnp.float64(0.0), m)
+                if tf == "nanify":          # nulls -> NaN (sort last)
+                    return jnp.where(nul, jnp.float64(np.nan), v)
+                if tf == "null0":
+                    return jnp.where(nul, jnp.float64(0.0), v)
+                if tf == "mininf":
+                    return jnp.where(nul, jnp.float64(np.inf), v)
+                return jnp.where(nul, jnp.float64(-np.inf),
+                                 v)          # maxninf
 
-        lanes = [mk_lane(e, tf, mp)
-                 for (e, tf), mp in zip(lane_exprs, lane_maps)]
-        return tuple([codes] + lanes)
+            lanes = [mk_lane(e, tf, mp)
+                     for (e, tf), mp in zip(exprs, maps)]
+            return tuple([codes] + lanes)
+        return builder
 
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(builder, n_out):
+        return dist.shard_map(
+            builder, mesh=mesh,
+            in_specs=tuple(P(axis) for _ in col_objs),
+            out_specs=tuple(P(axis) for _ in range(n_out)),
+            check_rep=False)
+
+    code_builder = make_builder(lane_exprs, lane_maps)
+    n_lanes = len(lane_ops)
     cap = [max(2 * rows_local, 64)]
     kernels = {}
-    n_lanes = len(lane_ops)
 
     def make(c):
-        from jax.sharding import PartitionSpec as P
         base = dist.dist_wide_groupby(mesh, rows_local, c,
                                       plan.lane_ops)
-        sm = dist.shard_map(
-            code_builder, mesh=mesh,
-            in_specs=tuple(P(axis) for _ in col_objs),
-            out_specs=tuple(P(axis) for _ in range(1 + n_lanes)),
-            check_rep=False)
+        sm = sharded(code_builder, 1 + n_lanes)
 
         @jax.jit
         def full(*cs):
@@ -243,6 +267,44 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             cap[0] = c * 2
 
     plan.run_kernel = run_kernel
+
+    if med_exprs:
+        med_builder = make_builder(med_exprs, med_maps)
+        n_med = len(med_exprs)
+        mcaps = [max(2 * rows_local // n_dev, 64),
+                 max(2 * rows_local // n_dev, 64)]
+        med_kernels = {}
+
+        def make_med(c, oc):
+            base = dist.dist_med_groupby(mesh, rows_local, c, oc,
+                                         n_med)
+            sm = sharded(med_builder, 1 + n_med)
+
+            @jax.jit
+            def full(*cs):
+                outs = sm(*cs)
+                return base(outs[0], *outs[1:])
+            return full
+
+        def run_med(cols):
+            while True:
+                key = (mcaps[0], mcaps[1])
+                if key not in med_kernels:
+                    med_kernels[key] = make_med(*key)
+                out = med_kernels[key](*cols)
+                oe = int(np.asarray(out[1])[0])
+                oo = int(np.asarray(out[2])[0])
+                if oe == 0 and oo == 0:
+                    # (codes, fidx, *medians)
+                    return out[3:]
+                if oe:
+                    mcaps[0] *= 2
+                if oo:
+                    mcaps[1] *= 2
+
+        plan.run_med = run_med
+    else:
+        plan.run_med = None
     return plan
 
 
@@ -253,6 +315,12 @@ def run(plan: _DPlan):
     olanes = outs[3:]
     if ng <= 0:
         return "empty"
+    omeds = None
+    if plan.run_med is not None:
+        # the shuffle kernel orders groups by the same global
+        # first-row ids, so its lanes align with the partial
+        # exchange's positions
+        omeds = plan.run_med(cols)[2:]
 
     out_names: list[int] = []
     out_cols: list[Obj] = []
@@ -279,11 +347,15 @@ def run(plan: _DPlan):
     for ai, a in enumerate(plan.aggs):
         out_names.append(a.sid)
         roles = plan.agg_lane[ai]
-        lane = olanes[roles["v"]] if roles is not None else None
+        lane = olanes[roles["v"]] if roles is not None \
+            and "v" in roles else None
         rt = a.inner.rtype if a.name != "count" else T.I64
         if a.name == "count":
             out_cols.append(Obj(T.I64, DevPendingSliced(
                 ocnt.astype(jnp.int64), ng)))
+        elif a.name == "med":
+            out_cols.append(Obj(T.F64, DevPendingSliced(
+                omeds[roles["med"]], ng)))
         elif a.name == "avg":
             e = olanes[roles["nn"]] if "nn" in roles \
                 else ocnt.astype(jnp.float64)

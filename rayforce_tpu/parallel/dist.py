@@ -509,6 +509,148 @@ def dist_wide_groupby_auto(mesh: Mesh, rows_local: int,
     return run
 
 
+def dist_med_groupby(mesh: Mesh, rows_local: int, cap: int,
+                     out_cap: int, n_lanes: int):
+    """Distributed grouped MEDIAN: median is not decomposable, so rows
+    shuffle raw to the chip owning hash(code) % n_dev (the reference's
+    radix-partition scatter, core/index.c:2556, on ICI) — every group
+    lands complete on one chip, where a (code, value) sort + selection
+    computes it exactly (core/aggr.c med over sorted per-group rows).
+
+    fn(codes, *lanes) with row-sharded i64 codes (-1 = masked) and
+    n_lanes f64 value lanes (nulls as NaN; XLA total order sorts NaN
+    last, so each group's non-null prefix is contiguous). Returns
+    replicated (ng, ovf_exchange, ovf_out, codes, fidx, *medians) in
+    global first-appearance order. Either overflow counter nonzero
+    means re-run with that capacity doubled (dist_med_groupby_auto).
+    """
+    from ..engine import groupby as G
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    BIG = np.int32(1 << 30)
+    m = n_dev * cap
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=tuple(P(axis) for _ in range(1 + n_lanes)),
+             out_specs=tuple(P() for _ in range(5 + n_lanes)),
+             check_rep=False)
+    def kernel(codes, *lanes):
+        me = jax.lax.axis_index(axis).astype(jnp.int64)
+        n = codes.shape[0]
+        rid = me * n + jnp.arange(n, dtype=jnp.int64)
+
+        # ---- raw-row shuffle by code ownership -----------------------
+        live = codes >= 0
+        dest = jnp.where(live, (codes % n_dev).astype(jnp.int32),
+                         np.int32(n_dev))
+        order = jnp.argsort(dest, stable=True)
+        dests = dest[order]
+        live_s = dests < n_dev
+        within = jnp.arange(n, dtype=jnp.int32) - jnp.searchsorted(
+            dests, dests, side="left").astype(jnp.int32)
+        ok = live_s & (within < cap)
+        ovf_ex = jax.lax.psum(
+            (live_s & ~ok).sum().astype(jnp.int64), axis)
+        slot = jnp.where(ok, dests * cap + within, np.int32(n_dev) *
+                         cap)
+
+        def exchange(lane, fill):
+            ls = lane[order]
+            buf = jnp.full((n_dev * cap,), fill, dtype=ls.dtype)
+            buf = buf.at[slot].set(ls, mode="drop")
+            return jax.lax.all_to_all(
+                buf.reshape(n_dev, cap), axis, 0, 0,
+                tiled=False).reshape(-1)
+
+        rcode = exchange(codes, np.int64(-1))
+        rrid = exchange(rid, np.int64(G.KEY_MAX))
+        rlanes = [exchange(lv, np.float64(np.nan)) for lv in lanes]
+
+        # ---- local complete-group median per lane --------------------
+        mkey = jnp.where(rcode >= 0, rcode, jnp.int64(G.KEY_MAX))
+        iota = jnp.arange(m, dtype=jnp.int32)
+        meds = []
+        bpos = fidx = mflags = None
+        for li, rl in enumerate(rlanes):
+            sc, sv, sr = jax.lax.sort([mkey, rl, rrid], num_keys=2,
+                                      is_stable=False)
+            if mflags is None:
+                mvalid = sc != G.KEY_MAX
+                mflags = mvalid & jnp.concatenate(
+                    [jnp.ones(1, bool), sc[1:] != sc[:-1]])
+                msegid = jnp.cumsum(mflags.astype(jnp.int32) +
+                                    (~mvalid).astype(jnp.int32))
+                mrs = msegid[::-1]
+                ck = jnp.where(mflags, iota, iota + BIG)
+                bpos = (jax.lax.sort([ck], num_keys=1,
+                                     is_stable=False)[0][:out_cap]
+                        & (BIG - 1))
+                bposc = jnp.clip(bpos, 0, m - 1)
+                fidx = G.seg_doubling_min(mrs, sr[::-1])[::-1][bposc]
+                gcode = jnp.where(mflags, sc, -1)[bposc]
+            else:
+                # same key -> identical code order and boundaries
+                msegid_l = msegid
+                mrs = msegid_l[::-1]
+            e = G.seg_doubling_sum(
+                mrs, (~jnp.isnan(sv)).astype(jnp.int64)[::-1]
+            )[::-1][jnp.clip(bpos, 0, m - 1)]
+            b64 = jnp.clip(bpos, 0, m - 1).astype(jnp.int64)
+            lo_i = jnp.clip(b64 + jnp.maximum(e - 1, 0) // 2, 0,
+                            m - 1)
+            hi_i = jnp.clip(b64 + e // 2, 0, m - 1)
+            mv = (sv[lo_i] + sv[hi_i]) / 2.0
+            meds.append(jnp.where(e == 0, jnp.float64(np.nan), mv))
+
+        my_ng = mflags.sum().astype(jnp.int32)
+        ovf_out = jax.lax.psum(
+            jnp.maximum(my_ng - out_cap, 0).astype(jnp.int64), axis)
+
+        # ---- gather + global first-appearance order ------------------
+        acode = jax.lax.all_gather(gcode, axis).reshape(-1)
+        afidx = jax.lax.all_gather(fidx, axis).reshape(-1)
+        ameds = [jax.lax.all_gather(mv_, axis).reshape(-1)
+                 for mv_ in meds]
+        fkey = jnp.where(acode >= 0, afidx, jnp.int64(G.KEY_MAX))
+        out = jax.lax.sort([fkey, acode] + ameds, num_keys=1,
+                           is_stable=False)
+        ng = (out[1] >= 0).sum().astype(jnp.int64)
+        return tuple([jnp.reshape(ng, (1,)),
+                      jnp.reshape(ovf_ex, (1,)),
+                      jnp.reshape(ovf_out, (1,)),
+                      out[1], out[0]] + list(out[2:]))
+
+    return jax.jit(kernel)
+
+
+def dist_med_groupby_auto(mesh: Mesh, rows_local: int, n_lanes: int):
+    """Overflow-safe distributed median: doubles whichever capacity
+    (exchange buckets / output groups) overflowed and re-runs."""
+    n_dev = mesh.shape[mesh.axis_names[0]]
+    caps = [max(2 * rows_local // n_dev, 64),
+            max(2 * rows_local // n_dev, 64)]
+    tried = {}
+
+    def run(codes, *lanes):
+        while True:
+            key = (caps[0], caps[1])
+            if key not in tried:
+                tried[key] = dist_med_groupby(
+                    mesh, rows_local, caps[0], caps[1], n_lanes)
+            out = tried[key](codes, *lanes)
+            oe = int(np.asarray(out[1])[0])
+            oo = int(np.asarray(out[2])[0])
+            if oe == 0 and oo == 0:
+                # (ng, codes, fidx, *medians)
+                return (out[0],) + out[3:]
+            if oe:
+                caps[0] *= 2
+            if oo:
+                caps[1] *= 2
+
+    return run
+
+
 # -- distributed joins --------------------------------------------------------
 
 def dist_left_probe(mesh: Mesh):

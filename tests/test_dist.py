@@ -398,6 +398,11 @@ def test_mesh_wide_select_parity(mesh8):
             # the exchange distributes what used to go to wide.py
             "(select {s: (sum v) c: (count v) from: t "
             "by: {a: k1 b: k2 c2: w}})",
+            # med rides the raw-row shuffle kernel next to partial-
+            # exchange lanes (nullable + int columns included)
+            "(select {m: (med v) s: (sum v) from: t by: k1})",
+            "(select {m: (med nf) mi: (med w) c: (count v) from: t "
+            "by: {k1: k1 k2: k2}})",
         ]:
             dev.set_enabled(True)
             s_dev = fmt(rt.eval_str(q))
@@ -543,3 +548,49 @@ def test_mesh_select_fuzz(mesh8, seed):
         dev._mesh_state.clear()
         dev._mesh_state.update(old_state)
         dev._cfg["threshold"] = old_thresh
+
+
+def test_dist_med_groupby(mesh8):
+    """Distributed median: raw-row shuffle (groups land complete per
+    chip) + local sorted selection; NaN nulls skipped; tight capacity
+    exercises the doubling retry."""
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(21)
+    per = 512
+    n = 8 * per
+    codes = rng.integers(0, 300, n).astype(np.int64)
+    codes[rng.random(n) < 0.1] = -1
+    va = rng.uniform(-100, 100, n)
+    va[rng.random(n) < 0.2] = np.nan
+    vb = rng.uniform(0, 50, n)
+    cd, _ = dist.shard_rows(mesh8, codes)
+    vad, _ = dist.shard_rows(mesh8, va)
+    vbd, _ = dist.shard_rows(mesh8, vb)
+    run = dist.dist_med_groupby_auto(mesh8, per, 2)
+    ng, code, fidx, ma, mb = run(cd, vad, vbd)
+    ng = int(np.asarray(ng)[0])
+    code = np.asarray(code)[:ng]
+    ma = np.asarray(ma)[:ng]
+    mb = np.asarray(mb)[:ng]
+    keep = codes >= 0
+    # first-appearance order
+    seen = {}
+    for i, c in enumerate(codes):
+        if c >= 0 and c not in seen:
+            seen[c] = i
+    ref_codes = sorted(seen, key=lambda c: seen[c])
+    assert ng == len(ref_codes)
+    assert np.array_equal(code, np.asarray(ref_codes))
+    for i, c in enumerate(code):
+        sel = keep & (codes == c)
+        a_vals = np.sort(va[sel][~np.isnan(va[sel])])
+        if len(a_vals) == 0:
+            assert np.isnan(ma[i]), c
+        else:
+            e = len(a_vals)
+            ref = (a_vals[(e - 1) // 2] + a_vals[e // 2]) / 2.0
+            assert ma[i] == ref, c
+        b_vals = np.sort(vb[sel])
+        e = len(b_vals)
+        ref = (b_vals[(e - 1) // 2] + b_vals[e // 2]) / 2.0
+        assert mb[i] == ref, c
