@@ -61,29 +61,35 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             return None
         if a.inner.rtype not in _NUMERIC:
             return None
-        # derived expressions have per-group whole-vector null
-        # semantics (sortagg handles those) — keep them single-chip
-        if not a.meta.get("plain_col"):
-            return None
+        plain = bool(a.meta.get("plain_col"))
         cid = id(a.inner)
-        try:
-            col = a.inner.cols[0].col
-            if cid not in nullable:
-                nullable[cid] = bool(dev.column_has_null(col))
-            lo, hi = dev.column_range(col)
-            if a.inner.rtype != T.F64:
-                reach = max(abs(int(lo)), abs(int(hi)))
-                # all lanes are f64: sums need exactness over the whole
-                # column's reach, min/max only per-value
-                lim = (1 << 53) // max(n_rows, 1) \
-                    if a.name in ("sum", "avg") else (1 << 53)
-                if reach >= lim:
+        lo = hi = None
+        if plain:
+            try:
+                col = a.inner.cols[0].col
+                if cid not in nullable:
+                    nullable[cid] = bool(dev.column_has_null(col))
+                lo, hi = dev.column_range(col)
+                if a.inner.rtype != T.F64:
+                    reach = max(abs(int(lo)), abs(int(hi)))
+                    # all lanes are f64: sums need exactness over the
+                    # whole column's reach, min/max only per-value
+                    lim = (1 << 53) // max(n_rows, 1) \
+                        if a.name in ("sum", "avg") else (1 << 53)
+                    if reach >= lim:
+                        return None
+                if a.name == "dev" and not (
+                        np.isfinite(lo) and np.isfinite(hi)):
                     return None
-            if a.name == "dev" and not (
-                    np.isfinite(lo) and np.isfinite(hi)):
+            except Exception:
                 return None
-        except Exception:
-            return None
+        else:
+            # derived expressions: no stats exist to bound int values
+            # in the f64 lanes, so only F64-typed results distribute;
+            # dev needs stats for its stabilizing shift — single-chip
+            if a.inner.rtype != T.F64 or a.name == "dev":
+                return None
+            nullable[cid] = True     # NaN-detect on computed values
 
         def lane(op, tf):
             lk = (op, cid, tf)
@@ -96,7 +102,10 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
         nul = nullable[cid]
         if a.name == "sum":
             roles = {"v": lane("sum", "null0" if nul else "raw")}
-            if nul:     # plain sum PROPAGATES nulls (aggr.c ADD accum)
+            if nul and plain:
+                # plain sum PROPAGATES nulls (aggr.c ADD accumulators);
+                # a DERIVED expression's per-group whole-vector sum
+                # SKIPS them (oracle-pinned) — no flag lane
                 roles["anynull"] = lane("max", "isnull")
         elif a.name == "avg":
             roles = {"v": lane("sum", "null0" if nul else "raw")}
@@ -106,6 +115,8 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             roles = {"v": lane("min", "mininf" if nul else "raw")}
             if nul:
                 roles["anyval"] = lane("max", "notnull")
+                # derived min all-null -> typed NULL, not INF
+                roles["plain"] = plain
         elif a.name == "max":
             roles = {"v": lane("max", "maxninf" if nul else "raw")}
             if nul:
@@ -384,9 +395,11 @@ def run(plan: _DPlan):
             empty = (olanes[roles["anyval"]] == 0) \
                 if "anyval" in roles else None
             if rt == T.F64:
-                if empty is not None and a.name == "max":
+                if empty is not None and (
+                        a.name == "max"
+                        or not roles.get("plain", True)):
                     lane = jnp.where(empty, jnp.float64(np.nan), lane)
-                # f64 min: all-null stays +inf (typed INF)
+                # plain f64 min: all-null stays +inf (typed INF)
                 out_cols.append(Obj(T.F64, DevPendingSliced(lane, ng)))
             else:
                 # sentinel substitution AFTER the int cast: f64->int

@@ -403,6 +403,14 @@ def test_mesh_wide_select_parity(mesh8):
             "(select {m: (med v) s: (sum v) from: t by: k1})",
             "(select {m: (med nf) mi: (med w) c: (count v) from: t "
             "by: {k1: k1 k2: k2}})",
+            # DERIVED f64 expressions: per-group whole-vector null
+            # semantics (sum SKIPS nulls, min all-null -> typed NULL);
+            # first/last of derived exprs are an ERROR in the
+            # reference (length) so they never reach the device plans
+            "(select {s: (sum (* v nf)) mn: (min (+ nf v)) "
+            "mx: (max (* nf 2.0)) from: t by: k1})",
+            "(select {a: (avg (- v nf)) m: (med (+ v nf)) "
+            "from: t by: {k1: k1 k2: k2}})",
         ]:
             dev.set_enabled(True)
             s_dev = fmt(rt.eval_str(q))
