@@ -602,3 +602,44 @@ def test_dist_med_groupby(mesh8):
         e = len(b_vals)
         ref = (b_vals[(e - 1) // 2] + b_vals[e // 2]) / 2.0
         assert mb[i] == ref, c
+
+
+@pytest.mark.skipif(not os.environ.get("RAYFORCE_FUZZ_EXTENDED"),
+                    reason="extended sweep: RAYFORCE_FUZZ_EXTENDED=1")
+@pytest.mark.parametrize("seed", range(700, 716))
+def test_mesh_select_fuzz_extended(mesh8, seed):
+    """16-seed deep mesh sweep (opt-in): same generator as the default
+    mesh fuzzer, more seeds and more queries per table."""
+    import random
+    from test_device_fuzz import _mk_table, _mk_query
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import device as dev
+    from rayforce_tpu.core import symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    old_state = dict(dev._mesh_state)
+    old_thresh = dev._cfg["threshold"]
+    os.environ["RAYFORCE_MESH"] = "8"
+    dev._mesh_state.update({"mesh": None, "checked": False})
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        assert dev.mesh() is not None
+        rng = np.random.default_rng(seed)
+        rnd = random.Random(seed)
+        rt = Runtime()
+        rt.interp.globals[symbols.intern("t")] = _mk_table(
+            rng, rnd.choice([1013, 4001, 9001]))
+        for _ in range(10):
+            q = _mk_query(rnd)
+            dev.set_enabled(True)
+            s_dev = fmt(rt.eval_str(q))
+            dev.set_enabled(False)
+            s_host = fmt(rt.eval_str(q))
+            dev.set_enabled(True)
+            assert s_dev == s_host, q
+    finally:
+        os.environ.pop("RAYFORCE_MESH", None)
+        dev._mesh_state.clear()
+        dev._mesh_state.update(old_state)
+        dev._cfg["threshold"] = old_thresh
