@@ -84,12 +84,26 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             except Exception:
                 return None
         else:
-            # derived expressions: no stats exist to bound int values
-            # in the f64 lanes, so only F64-typed results distribute;
-            # dev needs stats for its stabilizing shift — single-chip
-            if a.inner.rtype != T.F64 or a.name == "dev":
+            # derived expressions: dev needs stats for its stabilizing
+            # shift — single-chip; int-typed results need an interval-
+            # arithmetic bound (exprc.expr_range) to prove the f64
+            # lanes hold them exactly, F64-typed ones distribute as-is
+            if a.name == "dev":
                 return None
-            nullable[cid] = True     # NaN-detect on computed values
+            if a.inner.rtype != T.F64:
+                from . import exprc
+                ast = getattr(a.inner, "ast", None)
+                tb = getattr(a.inner, "tbl", None)
+                r = exprc.expr_range(tb, ast) \
+                    if ast is not None and tb is not None else None
+                if r is None:
+                    return None
+                reach = max(abs(r[0]), abs(r[1]))
+                lim = (1 << 53) // max(n_rows, 1) \
+                    if a.name in ("sum", "avg") else (1 << 53)
+                if reach >= lim:
+                    return None
+            nullable[cid] = True     # null-detect on computed values
 
         def lane(op, tf):
             lk = (op, cid, tf)
@@ -406,8 +420,10 @@ def run(plan: _DPlan):
                 # conversion near 2^63 is not portable across backends
                 li = lane.astype(T.DTYPE[rt])
                 if empty is not None:
+                    # plain min all-null keeps typed INF (aggr.c:1241);
+                    # derived min and any max yield typed NULL
                     sent = np.iinfo(T.DTYPE[rt]).max \
-                        if a.name == "min" \
+                        if a.name == "min" and roles.get("plain", True)\
                         else T.NULL_BY_TYPE.get(rt, T.NULL_I64)
                     li = jnp.where(empty, T.DTYPE[rt](sent), li)
                 out_cols.append(Obj(rt, DevPendingSliced(li, ng)))

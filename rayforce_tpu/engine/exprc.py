@@ -287,7 +287,58 @@ def compile_expr(tbl: Obj, ast: Obj):
     if r is None:
         return None
     fn, rt = r
-    return Compiled(fn, c.cols, rt)
+    out = Compiled(fn, c.cols, rt)
+    out.ast = ast
+    out.tbl = tbl
+    return out
+
+
+def expr_range(tbl: Obj, ast: Obj):
+    """Conservative (lo, hi) interval of an elementwise int expression
+    via interval arithmetic over cached column stats, or None when
+    unbounded / unsupported. Null sentinel inputs are EXCLUDED (column
+    stats ignore nulls; arithmetic on nulls yields nulls, which the
+    consumers detect separately) — the bound covers non-null results
+    only. Lets int-typed derived expressions ride f64 exchange lanes
+    and prove sum exactness (the scoped-range trick of the reference's
+    perfect grouping, core/index.c:341-435, applied to expressions)."""
+    from . import device as dev
+
+    def walk(node):
+        t = node.t
+        if t == -T.SYMBOL and not (node.attrs & 1):
+            col = col_by_name(tbl, symbols.name_of(int(node.v)))
+            if col is None or col.t not in (T.U8, T.I16, T.I32, T.I64,
+                                            T.B8):
+                return None
+            try:
+                lo, hi = dev.column_range(col)
+                return int(lo), int(hi)
+            except Exception:
+                return None
+        if t < 0 and -t in (T.U8, T.I16, T.I32, T.I64, T.B8):
+            v = int(node.v)
+            return v, v
+        if t != T.LIST or not node.v:
+            return None
+        name = _builtin_name(node.v[0])
+        args = node.v[1:]
+        if name == "neg" and len(args) == 1:
+            r = walk(args[0])
+            return (-r[1], -r[0]) if r else None
+        if name in ("+", "-", "*") and len(args) == 2:
+            a, b = walk(args[0]), walk(args[1])
+            if a is None or b is None:
+                return None
+            if name == "+":
+                return a[0] + b[0], a[1] + b[1]
+            if name == "-":
+                return a[0] - b[1], a[1] - b[0]
+            ps = [a[0] * b[0], a[0] * b[1], a[1] * b[0], a[1] * b[1]]
+            return min(ps), max(ps)
+        return None
+
+    return walk(ast)
 
 
 def split_aggregate(tbl: Obj, ast: Obj):

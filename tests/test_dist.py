@@ -411,6 +411,11 @@ def test_mesh_wide_select_parity(mesh8):
             "mx: (max (* nf 2.0)) from: t by: k1})",
             "(select {a: (avg (- v nf)) m: (med (+ v nf)) "
             "from: t by: {k1: k1 k2: k2}})",
+            # INT-typed derived exprs: interval arithmetic
+            # (exprc.expr_range) proves f64-lane exactness; nullable
+            # int input ni gives whole-vector null semantics
+            "(select {s: (sum (+ w ni)) mn: (min (* ni 3)) "
+            "a: (avg (- w ni)) from: t by: k1})",
         ]:
             dev.set_enabled(True)
             s_dev = fmt(rt.eval_str(q))
