@@ -79,6 +79,29 @@ def should_use(n_rows: int) -> bool:
 _mesh_state = {"mesh": None, "checked": False}
 
 
+def _maybe_init_distributed():
+    """Multi-HOST (DCN) runtime init, env-gated: on a real pod slice
+    each host process sets RAYFORCE_COORDINATOR=host:port (+
+    RAYFORCE_NUM_PROCS / RAYFORCE_PROC_ID when not inferable from the
+    TPU metadata) and jax.distributed.initialize makes jax.devices()
+    span every host, so RAYFORCE_MESH=auto builds a global mesh and
+    the shard_map kernels' collectives ride ICI within a host and DCN
+    across hosts. Single-host (and this repo's virtual-mesh tests)
+    skip it entirely. Untested beyond one host here — single-chip
+    hardware (COMPONENTS.md known gaps)."""
+    coord = os.environ.get("RAYFORCE_COORDINATOR")
+    if not coord or _mesh_state.get("dist_init"):
+        return
+    _mesh_state["dist_init"] = True
+    import jax as _jax
+    kw = {"coordinator_address": coord}
+    if os.environ.get("RAYFORCE_NUM_PROCS"):
+        kw["num_processes"] = int(os.environ["RAYFORCE_NUM_PROCS"])
+    if os.environ.get("RAYFORCE_PROC_ID"):
+        kw["process_id"] = int(os.environ["RAYFORCE_PROC_ID"])
+    _jax.distributed.initialize(**kw)
+
+
 def mesh():
     """The global device mesh when multi-chip mode is active
     (RAYFORCE_MESH=N or 'auto'), else None. Selects over row-sharded
@@ -88,6 +111,7 @@ def mesh():
         spec = os.environ.get("RAYFORCE_MESH")
         if spec:
             try:
+                _maybe_init_distributed()
                 import jax as _jax
                 n = len(_jax.devices()) if spec == "auto" else int(spec)
                 if n > 1 and len(_jax.devices()) >= n:

@@ -231,3 +231,77 @@ def test_device_result_over_ipc():
             stop.set(); t.join(timeout=2); server.stop()
     finally:
         dev.set_enabled(True)
+
+
+def test_large_payload_roundtrip():
+    """Multi-megabyte vector payloads cross the wire intact in both
+    directions (many TCP segments per frame; the rx buffer reassembles
+    them; reference ipc.c streams via the same length-prefixed
+    header)."""
+    import numpy as np
+    from rayforce_tpu.core import symbols
+    srv_rt = Runtime()
+    from rayforce_tpu.ipc.server import IpcServer
+    server = IpcServer(srv_rt, 0, host="127.0.0.1")
+    server.start()
+    port = server.listener.getsockname()[1]
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            server.run_once(0.05)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    try:
+        cli = Runtime()
+        h = cli.eval_str(f'(hopen "127.0.0.1:{port}")')
+        hv = int(h.v)
+        # server -> client: 2M-element vector (16 MB payload)
+        r = cli.eval_str(f'(write {hv} "(til 2000000)")')
+        arr = r.v
+        assert len(arr) == 2_000_000
+        assert arr[0] == 0 and int(arr[-1]) == 1_999_999
+        assert int(np.asarray(arr).sum()) == 1999999 * 1000000
+        # client -> server: ship a large object, aggregate remotely
+        cli.eval_str(f'(write {hv} "(set big (til 1500000))")')
+        r = cli.eval_str(f'(write {hv} "(sum big)")')
+        assert cli.format_result(r) == str(1499999 * 750000)
+        cli.eval_str(f"(hclose {hv})")
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        server.stop()
+
+
+def test_many_clients_interleaved():
+    """Eight concurrent client handles with interleaved sync RPCs: the
+    reactor keeps per-connection rx state isolated (no cross-talk
+    between partially-received frames)."""
+    srv_rt = Runtime()
+    from rayforce_tpu.ipc.server import IpcServer
+    server = IpcServer(srv_rt, 0, host="127.0.0.1")
+    server.start()
+    port = server.listener.getsockname()[1]
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            server.run_once(0.02)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    try:
+        cli = Runtime()
+        hs = [int(cli.eval_str(f'(hopen "127.0.0.1:{port}")').v)
+              for _ in range(8)]
+        for rnd in range(3):
+            for i, h in enumerate(hs):
+                r = cli.eval_str(f'(write {h} "(+ {i} {rnd * 100})")')
+                assert cli.format_result(r) == str(i + rnd * 100)
+        for h in hs:
+            cli.eval_str(f"(hclose {h})")
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        server.stop()
