@@ -2,17 +2,25 @@
 mid/high-cardinality group-by out over the device mesh.
 
 When RAYFORCE_MESH is active, a grouped select whose shape the
-distributed kernel covers (single packed code word, aggregates from
-{count, sum, avg, min, max} over plain columns, nullable included) runs
-as the partial-aggregate all_to_all exchange of
-parallel/dist.py:dist_wide_groupby — the reference's radix-partition
-grouping (core/index.c:2556) across chips — instead of the single-chip
-engines. Each distinct (combiner, column, transform) triple rides its
-own f64 exchange lane with the matching decomposable combiner (the
-reference's AGGR_COLLECT merge, core/aggr.c:163-181); nullable columns
-add shared flag lanes (any-null for sum propagation, any-non-null for
-min/max all-null groups) reproducing the host's null semantics
-(aggr.c:1241 typed-INF min init, NULL-propagating plain sums).
+distributed kernels cover — any single-word code space (< 2^61), EVERY
+aggregate (count/sum/avg/min/max/first/last/dev/med) over plain
+nullable columns plus derived expressions whose values provably fit
+the f64 lanes — runs distributed instead of single-chip:
+
+- count/sum/avg/min/max/first/last/dev ride the partial-aggregate
+  all_to_all exchange of parallel/dist.py:dist_wide_groupby — the
+  reference's radix-partition grouping (core/index.c:2556) across
+  chips. Each distinct (combiner, column, transform) triple is one
+  f64 lane with the matching decomposable combiner (AGGR_COLLECT
+  merge, core/aggr.c:163-181); nullable columns add exact flag lanes
+  (any-null for plain-sum propagation, any-non-null for min/max
+  all-null groups: typed-INF min init per aggr.c:1241, typed-NULL
+  max); first/last resolve positionally by global row id; dev rides
+  globally-shifted sum moments.
+- med (not decomposable) rides the raw-row hash shuffle of
+  dist_med_groupby: complete groups per chip + local sorted
+  selection, aligned to the partial kernel by first-row ids.
+
 Unsupported shapes fall back to the single-chip sortagg/wide plans
 (still correct: columns land unsharded).
 """
@@ -62,7 +70,10 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
         if a.inner.rtype not in _NUMERIC:
             return None
         plain = bool(a.meta.get("plain_col"))
-        cid = id(a.inner)
+        # plain single-column aggs key lanes by the COLUMN, so
+        # `sum v` and `avg v` (distinct Compiled objects) share one
+        # sum lane instead of exchanging it twice
+        cid = id(a.inner.cols[0].col) if plain else id(a.inner)
         lo = hi = None
         if plain:
             try:
