@@ -528,12 +528,6 @@ def _truthy(c) -> bool:
     return True
 
 
-def _stub_unary(name):
-    def f(o):
-        raise RayError("nyi", f"{name} not yet implemented")
-    return f
-
-
 def _fn_loadfn(args):
     """(loadfn "plugin.py" 'fname arity): bind a function exported by a
     plugin as a callable (reference core/dynlib.c:191 binds `obj_p

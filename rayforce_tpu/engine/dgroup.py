@@ -190,6 +190,14 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     rows_local = (n_rows + n_dev - 1) // n_dev
+    # stage A of dist_wide_groupby packs (code << pos_bits) | pos into
+    # one signed i64; when code bits + position bits exceed 62 the
+    # shift silently wraps. Such shapes fall back to the single-chip
+    # wide engine, which packs multi-word keys correctly.
+    code_bits = max(int(n_codes - 1).bit_length(), 1)
+    pos_bits = max(int(rows_local - 1).bit_length(), 1)
+    if code_bits + pos_bits > 62:
+        return None
 
     plan = _DPlan()
     plan.mesh = mesh

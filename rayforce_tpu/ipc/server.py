@@ -104,6 +104,12 @@ class IpcServer:
             payload = bytes(buf[16:16 + size])
             del buf[:16 + size]
             self._process(conn, handle, msgtype, payload)
+            if handle not in self.handles:
+                # _process closed the connection (decode failure or
+                # send error): stop draining — evaluating buffered
+                # frames against a dead socket would run side effects
+                # nobody can observe
+                return
 
     def _process(self, conn, handle, msgtype, payload):
         ip = self.rt.interp
@@ -144,6 +150,8 @@ class IpcServer:
         return ip.eval(obj)
 
     def _close(self, conn, handle):
+        if handle not in self.handles:
+            return      # idempotent: .z.pc fires once per connection
         try:
             self.sel.unregister(conn)
         except Exception:

@@ -42,17 +42,20 @@ def get_parted(db: str, tbl_name: str, interp=None) -> Obj:
     dirs a virtual `Id` column (reference core/vary.c:185-391); either
     is a per-partition CONSTANT (value + rowcount, MAPCOMMON) — never
     materialized per row."""
-    parts = []
-    int_parts = False
+    date_parts = []
+    int_parts_l = []
     for d in sorted(os.listdir(db)):
         if os.path.isdir(os.path.join(db, d, tbl_name)):
             if _DATE_RE.match(d):
-                parts.append(d)
+                date_parts.append(d)
             elif _INT_RE.match(d):
-                parts.append(d)
-                int_parts = True
-    if int_parts:
-        parts.sort(key=lambda s: int(s) if _INT_RE.match(s) else -1)
+                int_parts_l.append(d)
+    if date_parts and int_parts_l:
+        raise RayError(
+            "os", f"mixed date/integer partition names in {db}: "
+            f"{date_parts[0]} vs {int_parts_l[0]}")
+    int_parts = bool(int_parts_l)
+    parts = sorted(int_parts_l, key=int) if int_parts else date_parts
     if not parts:
         raise RayError("os", f"no partitions for {tbl_name} in {db}")
     # shared sym
