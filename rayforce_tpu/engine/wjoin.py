@@ -351,6 +351,38 @@ def _k_sum_avg(sv, li, ri, ok, rtype, want_avg):
     return jnp.where(ok & (c > 0), a, jnp.float64(np.nan))
 
 
+@partial(jax.jit, static_argnames=("rtype",))
+def _k_dev(sv, li, ri, ok, rtype):
+    """Window DEV via shifted cumulative moments over the sorted right
+    column (reference aggr.c:2806 aggr_map_dev_window). The in-kernel
+    non-null mean shift conditions E[x'^2] - E[x']^2 to fmt precision
+    (|x'| <= data span). Nulls skip; empty windows yield 0Nf."""
+    nn = _null_mask_t(sv, rtype)
+    v = sv.astype(jnp.float64)
+    vz = jnp.where(nn, 0.0, v)
+    cnt_all = jnp.maximum((~nn).sum().astype(jnp.float64), 1.0)
+    c0 = vz.sum() / cnt_all
+    x = jnp.where(nn, 0.0, v - c0)
+    z = jnp.zeros(1, jnp.float64)
+    cs = jnp.concatenate([z, jnp.cumsum(x)])
+    cs2 = jnp.concatenate([z, jnp.cumsum(x * x)])
+    cc = jnp.concatenate([z, jnp.cumsum((~nn).astype(jnp.float64))])
+    s = cs[ri + 1] - cs[li]
+    s2 = cs2[ri + 1] - cs2[li]
+    c = cc[ri + 1] - cc[li]
+    safe = jnp.where(c > 0, c, 1.0)
+    mean = s / safe
+    var = s2 / safe - mean * mean
+    # noise floor: the cumsum-difference cancellation error is bounded
+    # by eps * (global second moment); a constant/single-value window's
+    # true variance (0) otherwise surfaces as ~1e-5 garbage that fmt
+    # prints in scientific notation while the host path prints 0.00
+    floor = (x * x).sum() * np.float64(2.0 ** -48) / safe
+    var = jnp.where(var <= floor, 0.0, var)
+    outv = jnp.sqrt(jnp.maximum(var, 0.0))
+    return jnp.where(ok & (c > 0), outv, jnp.float64(np.nan))
+
+
 # min/max run the range structure over i32 VALUE RANKS (two extra
 # sorts) and look the winning value up at the very end: gathers of
 # 64-bit emulated values explode 64x in padding (see _boundaries_fn),
@@ -502,12 +534,12 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
     lead_l, time_l = lkeys[:-1], lkeys[-1]
     lead_r, time_r = rkeys[:-1], rkeys[-1]
     for _sid, name, _c, rtype in aggs:
-        if name in ("sum", "avg") and rtype not in SUM_TYPE:
+        if name in ("sum", "avg", "dev") and rtype not in SUM_TYPE:
             return None
         if name in ("min", "max") and rtype not in MINMAX_OK:
             return None
         if name not in ("count", "first", "last", "sum", "avg",
-                        "min", "max"):
+                        "min", "max", "dev"):
             return None
     if lead_l:
         metas = _key_ranges(lead_l, lead_r)
@@ -579,6 +611,10 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
             out[out_sid] = _lazy(
                 ot, lambda v=sv, w=(name == "avg"), rt_=rtype:
                 _k_sum_avg(v, li, ri, ok, rt_, w), nl)
+        elif name == "dev":
+            out[out_sid] = _lazy(
+                T.F64, lambda v=sv, rt_=rtype:
+                _k_dev(v, li, ri, ok, rt_), nl)
         else:
             nullfree = False
             try:

@@ -154,10 +154,22 @@ def grouped_aggregate(name: str, col: Obj, index) -> Obj:
     raise err_type(f"unknown aggregate {name}")
 
 
-def aggr_collect(col: Obj, index: GroupIndex) -> Obj:
+def aggr_collect(col: Obj, index) -> Obj:
     """Materialize MAPGROUP: LIST of per-group value vectors
-    (aggr.c aggr_collect)."""
+    (aggr.c aggr_collect); over a WindowIndex, per-left-row vectors of
+    the window's right values (aggr.c:2233-2245 over
+    INDEX_TYPE_WINDOW)."""
     from .compose import gather
+    if isinstance(index, WindowIndex):
+        li, ri, ok = index.li, index.ri, \
+            index.valid & (index.li <= index.ri) & (index.li >= 0)
+        out = []
+        empty = np.empty(0, dtype=np.int64)
+        for i in range(len(li)):
+            ids = np.arange(li[i], ri[i] + 1, dtype=np.int64) \
+                if ok[i] else empty
+            out.append(gather(col, ids))
+        return list_(out)
     if isinstance(index, GroupIndex):
         order, bounds = _sorted_layout(index)
         out = []
@@ -262,6 +274,24 @@ def window_aggregate(name: str, col: Obj, w: WindowIndex) -> Obj:
         nullv = T.NULL_BY_TYPE.get(t, T.NULL_I64)
         out = np.where(ok & okm, red, np.int64(nullv))
         return Obj(t, out.astype(T.DTYPE[t]))
+    if name in ("med", "dev"):
+        # per-window sorted selection / two-pass moments over the
+        # WINDOW ranges (reference aggr.c:2806 aggr_map_dev_window;
+        # med via aggr_collect + per-group selection, aggr.c:2233).
+        # Nulls skip; empty (or all-null) windows yield 0Nf.
+        if t not in SUM_TYPE:
+            raise err_type(f"{name} on non-numeric")
+        vals = a.astype(np.float64)
+        out = np.full(len(li), T.NULL_F64, dtype=np.float64)
+        for i in np.flatnonzero(ok):
+            seg = vals[li[i]:ri[i] + 1]
+            good = seg[~nulls[li[i]:ri[i] + 1]]
+            if len(good):
+                out[i] = np.median(good) if name == "med" \
+                    else good.std()
+        return Obj(T.F64, out)
+    if name == "collect":
+        return aggr_collect(col, w)
     raise err_type(f"window aggregate {name} nyi")
 
 

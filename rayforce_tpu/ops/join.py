@@ -430,7 +430,8 @@ def window_ranges(lkeys: list, rkeys_sorted: list, lo: np.ndarray,
                        np.where(valid, ri, -1), valid)
 
 
-_WJ_AGGS = ("sum", "avg", "min", "max", "count", "first", "last")
+_WJ_AGGS = ("sum", "avg", "min", "max", "count", "first", "last",
+            "dev")
 
 
 def _try_device_window_join(interp, keys, windows, lt, rt, aggd, tp):

@@ -139,7 +139,8 @@ def test_window_join_fuzz(seed):
     for fn in ("window-join", "window-join1"):
         for aggs in ["{mx: (max p) mn: (min p)}",
                      "{s: (sum q) a: (avg p) c: (count p)}",
-                     "{f: (first p) l: (last q)}"]:
+                     "{f: (first p) l: (last q)}",
+                     "{d: (dev p) dq: (dev q)}"]:
             q = (f"({fn} [s ts] (map-left + [{w[0]} {w[1]}] "
                  f"(at tr 'ts)) tr qt {aggs})")
             dev.set_enabled(True)
