@@ -69,6 +69,37 @@ def _key_array(col: Obj):
     return None
 
 
+_mesh_sort_cache: dict = {}
+last_profile: dict = {}    # {"engine": "dist-sort" | "device-sort"}
+
+
+def _mesh_order(m, keys, n, desc):
+    """Mesh-mode row order via the distributed sample sort
+    (parallel/dist.py:dist_sort — per-chip sorts + splitter-routed
+    all_to_all range exchange, the reference's parallel order-by
+    core/order.c:246 lifted onto ICI). Returns the replicated i64
+    permutation, or None on failure (caller falls back single-chip)."""
+    from ..parallel import dist
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = m.axis_names[0]
+    n_dev = m.shape[axis]
+    sharded = []
+    for k in keys:
+        pad = (-n) % n_dev
+        if pad:
+            k = jnp.concatenate(
+                [k, jnp.zeros(pad, dtype=k.dtype)])
+        sharded.append(jax.device_put(k, NamedSharding(m, P(axis))))
+    sig = (id(m), n, tuple(str(k.dtype) for k in keys))
+    run = _mesh_sort_cache.get(sig)
+    if run is None:
+        run = dist.dist_sort_auto(m, n,
+                                  tuple(k.dtype for k in keys))
+        _mesh_sort_cache[sig] = run
+    order = run(*sharded)
+    return jnp.flip(order) if desc else order
+
+
 def table_order_device(key_cols: list, desc: bool):
     """Row order (device i32 array) or None when unsupported."""
     keys = []
@@ -79,6 +110,17 @@ def table_order_device(key_cols: list, desc: bool):
         keys.append(k)
     n = int(keys[0].shape[0])
     nk = len(keys)
+    m = dev.mesh()
+    if m is not None and n > 0:
+        try:
+            o = _mesh_order(m, keys, n, desc)
+            if o is not None:
+                last_profile["engine"] = "dist-sort"
+                return o
+        except Exception as e:
+            from .select import warn_fallback
+            warn_fallback(e)
+    last_profile["engine"] = "device-sort"
     sig = (n, nk, tuple(str(k.dtype) for k in keys), desc)
     f = _order_cache.get(sig)
     if f is None:

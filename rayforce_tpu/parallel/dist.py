@@ -651,6 +651,156 @@ def dist_med_groupby_auto(mesh: Mesh, rows_local: int, n_lanes: int):
     return run
 
 
+# -- distributed table sort (sample sort) -------------------------------------
+
+def _lex_ge(keys, sps, j, rid, sp_rid):
+    """(tuple, rid) >= (splitter_j tuple, splitter_j rid), folding the
+    comparison from the last key backward (rid is the final
+    tie-breaker, making the total order unique — exchange routing then
+    preserves stability exactly)."""
+    res = rid >= sp_rid[j]
+    for k, sp in zip(reversed(keys), reversed(sps)):
+        s = sp[j]
+        res = (k > s) | ((k == s) & res)
+    return res
+
+
+def dist_sort(mesh: Mesh, n_rows: int, key_dtypes, cap: int,
+              n_samples: int = 64):
+    """Distributed multi-key table sort — a SAMPLE SORT over ICI (the
+    mesh analogue of the reference's parallel radix/merge order-by,
+    core/sort.c + core/order.c:246 xasc):
+
+      1. per chip: stable local sort of (keys..., global row id);
+      2. sample n_samples evenly from each local run, all_gather,
+         sort, pick n_dev-1 splitter tuples (replicated);
+      3. route each row to the chip owning its splitter range via
+         lexicographic (tuple, rid) comparison — monotone in the
+         total order, so chip d's rows all precede chip d+1's;
+      4. all_to_all exchange (per-(src,dst) capacity = `cap`; rows
+         beyond it are counted in `overflow`, never silently dropped
+         — dist_sort_auto retries doubled);
+      5. per chip: sort received rows; concatenation over chips in
+         mesh order IS the global order;
+      6. all_gather + one compaction sort by (chip, local rank)
+         returns the replicated i64 row-id permutation.
+
+    fn(*keys) -> (overflow[1], order[n_rows]); keys row-sharded, pad
+    rows (global rid >= n_rows) are keyed +inf/KEY_MAX and sliced off.
+    """
+    from ..engine import groupby as G
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    nk = len(key_dtypes)
+    S = n_samples
+    m_recv = n_dev * cap
+
+    def hi_of(dt):
+        return np.float64(np.inf) if np.dtype(dt) == np.float64 \
+            else np.int64(G.KEY_MAX)
+
+    fills = [hi_of(dt) for dt in key_dtypes]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=tuple(P(axis) for _ in range(nk)),
+             out_specs=(P(), P()), check_rep=False)
+    def kernel(*keys):
+        me = jax.lax.axis_index(axis).astype(jnp.int64)
+        n = keys[0].shape[0]
+        rid = me * n + jnp.arange(n, dtype=jnp.int64)
+        valid = rid < n_rows
+        keys = [jnp.where(valid, k, f) for k, f in zip(keys, fills)]
+        ridk = jnp.where(valid, rid, jnp.int64(G.KEY_MAX))
+
+        # ---- 1. local sort (rid as final key: unique total order) ----
+        srt = jax.lax.sort(list(keys) + [ridk], num_keys=nk + 1,
+                           is_stable=False)
+        sk, srid = srt[:nk], srt[nk]
+
+        # ---- 2. splitters from gathered samples ----------------------
+        pos = (jnp.arange(S, dtype=jnp.int64) * n) // S + \
+            max(n // (2 * S), 0)
+        pos = jnp.clip(pos, 0, n - 1)
+        gs = [jax.lax.all_gather(k[pos], axis).reshape(-1)
+              for k in sk]
+        gr = jax.lax.all_gather(srid[pos], axis).reshape(-1)
+        gsort = jax.lax.sort(gs + [gr], num_keys=nk + 1,
+                             is_stable=False)
+        sp_keys = gsort[:nk]
+        sp_rid = gsort[nk]
+        sp_pos = jnp.arange(1, n_dev, dtype=jnp.int64) * S
+        sps = [g[sp_pos] for g in sp_keys]
+        sprid = sp_rid[sp_pos]
+
+        # ---- 3. destination chip by splitter range -------------------
+        dest = jnp.zeros(n, jnp.int32)
+        for j in range(n_dev - 1):
+            dest = dest + _lex_ge(sk, sps, j, srid, sprid) \
+                .astype(jnp.int32)
+
+        # ---- 4. capacity-bounded all_to_all exchange -----------------
+        # local run is dest-sorted already (dest is monotone in the
+        # sort order), so within-bucket positions come from one
+        # searchsorted over the sorted dest array
+        within = jnp.arange(n, dtype=jnp.int32) - jnp.searchsorted(
+            dest, dest, side="left").astype(jnp.int32)
+        ok = within < cap
+        overflow = jax.lax.psum((~ok).sum().astype(jnp.int64), axis)
+        slot = jnp.where(ok, dest * cap + within,
+                         np.int32(n_dev) * cap)
+
+        def exchange(lane, fill):
+            buf = jnp.full((n_dev * cap,), fill, dtype=lane.dtype)
+            buf = buf.at[slot].set(lane, mode="drop")
+            return jax.lax.all_to_all(
+                buf.reshape(n_dev, cap), axis, 0, 0,
+                tiled=False).reshape(-1)
+
+        rk = [exchange(k, f) for k, f in zip(sk, fills)]
+        rr = exchange(srid, np.int64(G.KEY_MAX))
+
+        # ---- 5. local merge of received rows -------------------------
+        ms = jax.lax.sort(rk + [rr], num_keys=nk + 1, is_stable=False)
+        mrid = ms[nk]
+
+        # ---- 6. gather + compaction ----------------------------------
+        mvalid = mrid != G.KEY_MAX
+        rank = jnp.cumsum(mvalid.astype(jnp.int64)) - 1
+        poskey = jnp.where(mvalid, me * m_recv + rank,
+                           jnp.int64(G.KEY_MAX))
+        ap = jax.lax.all_gather(poskey, axis).reshape(-1)
+        ar = jax.lax.all_gather(mrid, axis).reshape(-1)
+        _ps, order = jax.lax.sort([ap, ar], num_keys=1,
+                                  is_stable=False)
+        return (jnp.reshape(overflow, (1,)), order[:n_rows])
+
+    return jax.jit(kernel)
+
+
+def dist_sort_auto(mesh: Mesh, n_rows: int, key_dtypes):
+    """Overflow-safe distributed sort: per-(src,dst) capacity starts at
+    2x the balanced expectation and doubles on overflow (sampled
+    splitters make retries rare)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    rows_local = (n_rows + n_dev - 1) // n_dev
+    cap0 = max(2 * rows_local // n_dev, 64)
+    tried = {}
+
+    def run(*keys):
+        c = cap0
+        while True:
+            if c not in tried:
+                tried[c] = dist_sort(mesh, n_rows,
+                                     tuple(k.dtype for k in keys), c)
+            ovf, order = tried[c](*keys)
+            if int(np.asarray(ovf)[0]) == 0:
+                return order
+            c *= 2
+
+    return run
+
+
 # -- distributed joins --------------------------------------------------------
 
 def dist_left_probe(mesh: Mesh):

@@ -648,3 +648,85 @@ def test_mesh_select_fuzz_extended(mesh8, seed):
         dev._mesh_state.clear()
         dev._mesh_state.update(old_state)
         dev._cfg["threshold"] = old_thresh
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def mesh_env():
+    """Interpreter-level mesh mode: RAYFORCE_MESH=8 + device threshold
+    1, restored on exit (the setup every end-to-end parity test above
+    repeats inline)."""
+    from rayforce_tpu.engine import device as dev
+    old_state = dict(dev._mesh_state)
+    old_thresh = dev._cfg["threshold"]
+    os.environ["RAYFORCE_MESH"] = "8"
+    dev._mesh_state.update({"mesh": None, "checked": False})
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    try:
+        assert dev.mesh() is not None
+        yield dev
+    finally:
+        os.environ.pop("RAYFORCE_MESH", None)
+        dev._mesh_state.clear()
+        dev._mesh_state.update(old_state)
+        dev._cfg["threshold"] = old_thresh
+
+
+def test_dist_sort(mesh8):
+    """Sample-sort kernel vs numpy lexsort: multi-key with duplicates,
+    stability via the row-id tie-break, tight capacity exercising the
+    overflow retry."""
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(77)
+    n = 8 * 700 + 0
+    k1 = rng.integers(0, 9, n).astype(np.int64)     # heavy duplicates
+    k2 = rng.uniform(-5, 5, n)
+    cd, _ = dist.shard_rows(mesh8, k1)
+    vd, _ = dist.shard_rows(mesh8, k2)
+    run = dist.dist_sort_auto(mesh8, n, (np.int64, np.float64))
+    order = np.asarray(run(cd, vd))
+    ref = np.lexsort((np.arange(n), k2, k1))
+    assert np.array_equal(order, ref)
+
+
+def test_mesh_sort_parity(mesh8):
+    """End-to-end mesh-mode xasc/xdesc through the interpreter: the
+    distributed sample sort must match the host sort exactly,
+    including null/NaN placement and multi-key stability."""
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    with mesh_env() as dev:
+        rng = np.random.default_rng(55)
+        n = 8 * 900 + 5
+        k1 = rng.integers(0, 12, n).astype(np.int64)
+        k1[rng.integers(0, n, 60)] = T.NULL_I64
+        k2 = rng.integers(-4, 4, n).astype(np.int32)
+        v = rng.uniform(-50, 50, n)
+        v[rng.integers(0, n, 60)] = np.nan
+        ts = rng.integers(0, 10**6, n).astype(np.int64)
+        sym = np.asarray([symbols.intern(s) for s in
+                          rng.choice(["ibm", "aapl", "msft", "goog"],
+                                     n)], dtype=np.int64)
+        rt = Runtime()
+        rt.interp.globals[symbols.intern("t")] = table(
+            vec_sym(["k1", "k2", "v", "ts", "s"]),
+            [Obj(T.I64, k1), Obj(T.I32, k2), Obj(T.F64, v),
+             Obj(T.I64, ts), Obj(T.SYMBOL, sym)])
+        from rayforce_tpu.engine import sort as esort
+        for q in ["(xasc t [k1])", "(xasc t [k1 k2])",
+                  "(xdesc t [k2 v])", "(xasc t [v])",
+                  "(xasc t [s ts])", "(xdesc t [k1 ts v])"]:
+            dev.set_enabled(True)
+            s_dev = fmt(rt.eval_str(q))
+            eng = esort.last_profile.get("engine")
+            dev.set_enabled(False)
+            s_host = fmt(rt.eval_str(q))
+            dev.set_enabled(True)
+            assert s_dev == s_host, q
+            assert eng == "dist-sort", (q, eng)
