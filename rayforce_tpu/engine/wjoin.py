@@ -219,96 +219,112 @@ def _boundaries_fn(nl, nr, n_codes, tp, n_pay, pay_dtypes,
         return _bound_cache[key]
 
     def fn(lcode, rcode, rt, lo, hi, *pays):
-        riota = jnp.arange(nr, dtype=jnp.int32)
-        if pack is not None:
-            tmin, tbits = pack
-            sorted_r = jax.lax.sort(
-                [(rcode << tbits) | (rt - tmin), riota] + list(pays),
-                num_keys=1, is_stable=False)
-            spk, sr = sorted_r[0], sorted_r[1]
-            src = spk >> tbits
-            srt = (spk & ((np.int64(1) << tbits) - 1)) + tmin
-            spays = sorted_r[2:]
-        else:
-            sorted_r = jax.lax.sort([rcode, rt, riota] + list(pays),
-                                    num_keys=2, is_stable=True)
-            src, srt, sr = sorted_r[0], sorted_r[1], sorted_r[2]
-            spays = sorted_r[3:]
-        cnt = G.matmul_tasks_scan(
-            src.astype(jnp.int32), [jnp.ones(nr, jnp.float32)],
-            n_codes + 1, nr)[0].astype(jnp.int64)[:n_codes]
-        starts = jnp.concatenate(
-            [jnp.zeros(1, jnp.int64), jnp.cumsum(cnt)[:-1]])
-        lc32 = jnp.clip(lcode, 0, n_codes - 1).astype(jnp.int32)
-        g_cnt = cnt[lc32]
-        g_fi = starts[lc32]
-        g_ti = g_fi + g_cnt - 1
-        has_group = g_cnt > 0
-
-        lo_tie = jnp.int32(1 if tp == 0 else -1)
-        codes_all = jnp.concatenate([rcode, lcode, lcode])
-        times_all = jnp.concatenate([rt, lo, hi])
-        ties = jnp.concatenate([jnp.zeros(nr, jnp.int32),
-                                jnp.full(nl, lo_tie, jnp.int32),
-                                jnp.ones(nl, jnp.int32)])
-        eidx = jnp.concatenate([jnp.full(nr, -1, jnp.int32),
-                                jnp.arange(2 * nl, dtype=jnp.int32)])
-        if pack is not None:
-            tmin, tbits = pack
-            ekey = (codes_all << (tbits + 2)) | \
-                ((times_all - tmin) << 2) | \
-                (ties + 1).astype(jnp.int64)
-            _ek, seidx = jax.lax.sort([ekey, eidx], num_keys=1,
-                                      is_stable=False)
-        else:
-            _sc, _st2, _tt, seidx = jax.lax.sort(
-                [codes_all, times_all, ties, eidx], num_keys=3,
-                is_stable=True)
-        is_right = seidx < 0
-        prefix = jnp.cumsum(is_right.astype(jnp.int64))
-        # unsort events: pack (event id, prefix) into one key — the
-        # prefix fits below bit 36 (nr <= 2^36)
-        key2 = jnp.where(is_right, jnp.int64(2 * nl),
-                         seidx.astype(jnp.int64))
-        upk = (key2 << 36) | prefix
-        upks = jax.lax.sort([upk], num_keys=1, is_stable=False)[0]
-        pref_by_event = upks & ((np.int64(1) << 36) - 1)
-        p_lo = pref_by_event[:nl]
-        p_hi = pref_by_event[nl:2 * nl]
-        p_lo_r = p_lo - 1
-        p_lo_l = p_lo
-        p_hi_r = p_hi - 1
-
-        if tp == 0:
-            li = jnp.where(p_lo_r < g_fi, g_fi,
-                           jnp.minimum(p_lo_r, g_ti))
-        else:
-            li = jnp.where((p_lo_l > g_ti) | (p_lo_l < g_fi), g_fi,
-                           jnp.maximum(p_lo_l, g_fi))
-        ri = jnp.where(p_hi_r < g_fi, g_fi, jnp.minimum(p_hi_r, g_ti))
-        safe_li = jnp.clip(li, 0, max(nr - 1, 0)).astype(jnp.int32)
-        safe_ri = jnp.clip(ri, 0, max(nr - 1, 0)).astype(jnp.int32)
-        # window emptiness from the event prefixes alone (the old
-        # per-row time probes srt[li] / srt[ri] were dynamic gathers
-        # of emulated-i64 values — a 64x-padded layout costing ~2 s
-        # per probe at 10M rows):
-        # - tp==1 (closed [lo, hi]): p_hi - p_lo = the group's right
-        #   rows inside the window (both events sit in the group's
-        #   sorted span; tie order places boundary rows correctly);
-        # - tp==0 (prevailing window, li reaches back to the last row
-        #   at-or-before lo): nonempty iff the group has ANY row
-        #   at-or-before hi, i.e. p_hi exceeds the group's base
-        #   prefix g_fi.
-        if tp == 1:
-            valid = has_group & (p_hi - p_lo > 0)
-        else:
-            valid = has_group & (p_hi - g_fi > 0)
-        ok = valid & (li <= ri)
-        return (sr, safe_li, safe_ri, ok) + tuple(spays)
+        return _boundary_core(lcode, rcode, rt, lo, hi, pays,
+                              n_codes, tp, pack)
 
     f = jax.jit(fn)
     _bound_cache[key] = f
     return f
+
+
+def _boundary_core(lcode, rcode, rt, lo, hi, pays, n_codes, tp, pack,
+                   lvalid=None):
+    """Event-sort window boundaries (the body shared by the jitted
+    single-chip entry and the per-chip stage of the mesh kernel).
+    Shapes come from the arrays; `lvalid` masks received-buffer pad
+    rows in mesh mode (their ok goes False). Trash RIGHT rows must
+    carry rcode == n_codes (they count into the trash bucket and sort
+    after every real code)."""
+    nl = lcode.shape[0]
+    nr = rcode.shape[0]
+    riota = jnp.arange(nr, dtype=jnp.int32)
+    if pack is not None:
+        tmin, tbits = pack
+        sorted_r = jax.lax.sort(
+            [(rcode << tbits) | (rt - tmin), riota] + list(pays),
+            num_keys=1, is_stable=False)
+        spk, sr = sorted_r[0], sorted_r[1]
+        src = spk >> tbits
+        srt = (spk & ((np.int64(1) << tbits) - 1)) + tmin
+        spays = sorted_r[2:]
+    else:
+        sorted_r = jax.lax.sort([rcode, rt, riota] + list(pays),
+                                num_keys=2, is_stable=True)
+        src, srt, sr = sorted_r[0], sorted_r[1], sorted_r[2]
+        spays = sorted_r[3:]
+    cnt = G.matmul_tasks_scan(
+        src.astype(jnp.int32), [jnp.ones(nr, jnp.float32)],
+        n_codes + 1, nr)[0].astype(jnp.int64)[:n_codes]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(cnt)[:-1]])
+    lc32 = jnp.clip(lcode, 0, n_codes - 1).astype(jnp.int32)
+    g_cnt = cnt[lc32]
+    g_fi = starts[lc32]
+    g_ti = g_fi + g_cnt - 1
+    has_group = g_cnt > 0
+
+    lo_tie = jnp.int32(1 if tp == 0 else -1)
+    codes_all = jnp.concatenate([rcode, lcode, lcode])
+    times_all = jnp.concatenate([rt, lo, hi])
+    ties = jnp.concatenate([jnp.zeros(nr, jnp.int32),
+                            jnp.full(nl, lo_tie, jnp.int32),
+                            jnp.ones(nl, jnp.int32)])
+    eidx = jnp.concatenate([jnp.full(nr, -1, jnp.int32),
+                            jnp.arange(2 * nl, dtype=jnp.int32)])
+    if pack is not None:
+        tmin, tbits = pack
+        ekey = (codes_all << (tbits + 2)) | \
+            ((times_all - tmin) << 2) | \
+            (ties + 1).astype(jnp.int64)
+        _ek, seidx = jax.lax.sort([ekey, eidx], num_keys=1,
+                                  is_stable=False)
+    else:
+        _sc, _st2, _tt, seidx = jax.lax.sort(
+            [codes_all, times_all, ties, eidx], num_keys=3,
+            is_stable=True)
+    is_right = seidx < 0
+    prefix = jnp.cumsum(is_right.astype(jnp.int64))
+    # unsort events: pack (event id, prefix) into one key — the
+    # prefix fits below bit 36 (nr <= 2^36)
+    key2 = jnp.where(is_right, jnp.int64(2 * nl),
+                     seidx.astype(jnp.int64))
+    upk = (key2 << 36) | prefix
+    upks = jax.lax.sort([upk], num_keys=1, is_stable=False)[0]
+    pref_by_event = upks & ((np.int64(1) << 36) - 1)
+    p_lo = pref_by_event[:nl]
+    p_hi = pref_by_event[nl:2 * nl]
+    p_lo_r = p_lo - 1
+    p_lo_l = p_lo
+    p_hi_r = p_hi - 1
+
+    if tp == 0:
+        li = jnp.where(p_lo_r < g_fi, g_fi,
+                       jnp.minimum(p_lo_r, g_ti))
+    else:
+        li = jnp.where((p_lo_l > g_ti) | (p_lo_l < g_fi), g_fi,
+                       jnp.maximum(p_lo_l, g_fi))
+    ri = jnp.where(p_hi_r < g_fi, g_fi, jnp.minimum(p_hi_r, g_ti))
+    safe_li = jnp.clip(li, 0, max(nr - 1, 0)).astype(jnp.int32)
+    safe_ri = jnp.clip(ri, 0, max(nr - 1, 0)).astype(jnp.int32)
+    # window emptiness from the event prefixes alone (the old
+    # per-row time probes srt[li] / srt[ri] were dynamic gathers
+    # of emulated-i64 values — a 64x-padded layout costing ~2 s
+    # per probe at 10M rows):
+    # - tp==1 (closed [lo, hi]): p_hi - p_lo = the group's right
+    #   rows inside the window (both events sit in the group's
+    #   sorted span; tie order places boundary rows correctly);
+    # - tp==0 (prevailing window, li reaches back to the last row
+    #   at-or-before lo): nonempty iff the group has ANY row
+    #   at-or-before hi, i.e. p_hi exceeds the group's base
+    #   prefix g_fi.
+    if tp == 1:
+        valid = has_group & (p_hi - p_lo > 0)
+    else:
+        valid = has_group & (p_hi - g_fi > 0)
+    ok = valid & (li <= ri)
+    if lvalid is not None:
+        ok = ok & lvalid
+    return (sr, safe_li, safe_ri, ok) + tuple(spays)
 
 
 @jax.jit
@@ -525,6 +541,210 @@ def _k_minmax_value(sv, red, ok, rtype, op):
     return jnp.where(ok & ~empty, out, nv2)
 
 
+# -- mesh (multi-chip) window join --------------------------------------------
+
+_mesh_wj_cache: dict = {}
+last_profile: dict = {}   # {"engine": "dist-wjoin" | "device-wjoin"}
+
+
+def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, nl_total,
+                       aggs_spec, pay_dtypes):
+    """Distributed window join: both tables exchange by key-code
+    ownership (code % n_dev — the dist_asof_probe pattern,
+    parallel/dist.py), each chip runs the event-sort boundary core +
+    range aggregates over its complete key partition (windows never
+    cross keys, so per-chip results are exact), and rows return to the
+    left table's original order via all_gather + one sort by global
+    left row id. The reference's single biggest published win
+    (window join, core/join.c:358-489, index.c:3287-3347) distributed
+    over ICI.
+
+    aggs_spec: tuple of (op, lane_idx | None, rtype) over the deduped
+    right payload lanes. Returns replicated
+    (ovf_l[1], ovf_r[1], *agg_lanes[nl_total]); nonzero overflow means
+    a (src, dst) bucket exceeded its capacity — the caller retries
+    with it doubled (nothing drops silently)."""
+    from ..parallel import dist
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    n_local = -(-n_codes // n_dev)
+    n_pay = len(pay_dtypes)
+
+    def payfill(dt):
+        return np.float64(np.nan) if np.dtype(dt) == np.float64 \
+            else np.int64(0)
+
+    @partial(dist.shard_map, mesh=mesh,
+             in_specs=tuple(P(axis) for _ in range(5 + n_pay)),
+             out_specs=tuple(P() for _ in range(2 + len(aggs_spec))),
+             check_rep=False)
+    def kernel(lcode, lo, hi, rcode, rts, *rpays):
+        nl = lcode.shape[0]
+        nr = rcode.shape[0]
+        me = jax.lax.axis_index(axis).astype(jnp.int64)
+        lrow = me * nl + jnp.arange(nl, dtype=jnp.int64)
+        lvalid_in = lrow < nl_total
+
+        def route(dest_code, valid, lanes, cap):
+            n = dest_code.shape[0]
+            dst = jnp.where(valid,
+                            (dest_code % n_dev).astype(jnp.int32),
+                            np.int32(n_dev))
+            order = jnp.argsort(dst, stable=True)
+            ds = dst[order]
+            live = ds < n_dev
+            within = jnp.arange(n, dtype=jnp.int32) - \
+                jnp.searchsorted(ds, ds,
+                                 side="left").astype(jnp.int32)
+            ok_ = live & (within < cap)
+            ovf = jax.lax.psum(
+                (live & ~ok_).sum().astype(jnp.int64), axis)
+            slot = jnp.where(ok_, ds * cap + within,
+                             np.int32(n_dev) * cap)
+            outs = []
+            for lane, fill in lanes:
+                ls = lane[order]
+                buf = jnp.full((n_dev * cap,), fill, dtype=ls.dtype)
+                buf = buf.at[slot].set(ls, mode="drop")
+                outs.append(jax.lax.all_to_all(
+                    buf.reshape(n_dev, cap), axis, 0, 0,
+                    tiled=False).reshape(-1))
+            return ovf, outs
+
+        ovf_l, louts = route(
+            lcode, lvalid_in,
+            [(lcode, np.int64(-1)), (lo, np.int64(0)),
+             (hi, np.int64(0)), (lrow, np.int64(G.KEY_MAX))], cap_l)
+        xlcode, xlo, xhi, xlrow = louts
+        ovf_r, routs = route(
+            rcode, rcode >= 0,
+            [(rcode, np.int64(-1)), (rts, np.int64(0))] +
+            [(pv, payfill(dt)) for pv, dt in zip(rpays, pay_dtypes)],
+            cap_r)
+        xrcode, xrts = routs[0], routs[1]
+        xpays = routs[2:]
+
+        # local dense code space: codes owned by this chip are exactly
+        # {c : c % n_dev == me}, remapped densely by c // n_dev
+        lval = xlrow != G.KEY_MAX
+        llocal = jnp.where(lval, xlcode // n_dev,
+                           jnp.int64(n_local))
+        rlocal = jnp.where(xrcode >= 0, xrcode // n_dev,
+                           jnp.int64(n_local))
+        bres = _boundary_core(llocal, rlocal, xrts, xlo, xhi,
+                              tuple(xpays), n_local, tp, None,
+                              lvalid=lval)
+        _sr, li, ri, ok = bres[0], bres[1], bres[2], bres[3]
+        spays = bres[4:]
+
+        lanes_out = []
+        for op, lane, rtype in aggs_spec:
+            sv = spays[lane] if lane is not None else None
+            if op == "count":
+                lanes_out.append(_k_count(li, ri, ok))
+            elif op in ("first", "last"):
+                lanes_out.append(_k_first_last(sv, li, ri, ok, rtype,
+                                               op == "last"))
+            elif op in ("sum", "avg"):
+                lanes_out.append(_k_sum_avg(sv, li, ri, ok, rtype,
+                                            op == "avg"))
+            elif op == "dev":
+                lanes_out.append(_k_dev(sv, li, ri, ok, rtype))
+            else:           # min / max via value ranks + range table
+                red = _k_minmax_rank(sv, li, ri, ok, rtype, op)
+                lanes_out.append(_k_minmax_value(sv, red, ok, rtype,
+                                                 op))
+
+        # ---- return to original left order ---------------------------
+        akey = jax.lax.all_gather(
+            jnp.where(lval, xlrow, jnp.int64(G.KEY_MAX)),
+            axis).reshape(-1)
+        alanes = [jax.lax.all_gather(v, axis).reshape(-1)
+                  for v in lanes_out]
+        srt = jax.lax.sort([akey] + alanes, num_keys=1,
+                           is_stable=False)
+        return tuple([jnp.reshape(ovf_l, (1,)),
+                      jnp.reshape(ovf_r, (1,))] +
+                     [v[:nl_total] for v in srt[1:]])
+
+    return jax.jit(kernel)
+
+
+def _mesh_window_join(m, lcode, rcode, rt_d, lo_d, hi_d, nl, nr,
+                      n_codes, tp, aggs, pays, pay_slot):
+    """Mesh glue: shard the prepared code/time/payload lanes, run the
+    distributed kernel with capacity retry, wrap replicated result
+    lanes as typed columns. Returns {out_sid: Obj} or None."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = m.axis_names[0]
+    n_dev = m.shape[axis]
+    n_local = -(-n_codes // n_dev)
+    if n_local > dev._cfg["dense_max"]:
+        return None
+
+    def shardpad(a, fill):
+        pad = (-int(a.shape[0])) % n_dev
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full(pad, fill, dtype=a.dtype)])
+        return jax.device_put(a, NamedSharding(m, P(axis)))
+
+    aggs_spec = []
+    for _sid, name, rcol, rtype in aggs:
+        lane = pay_slot[id(rcol)] if name != "count" else None
+        aggs_spec.append((name, lane, rtype))
+    aggs_spec = tuple(aggs_spec)
+    pay_dtypes = tuple(str(p.dtype) for p in pays)
+
+    lc = shardpad(lcode, np.int64(-1))
+    lo_s = shardpad(lo_d, np.int64(0))
+    hi_s = shardpad(hi_d, np.int64(0))
+    rc = shardpad(rcode, np.int64(-1))
+    rt_s = shardpad(rt_d, np.int64(0))
+    pay_s = [shardpad(p, np.nan if p.dtype == jnp.float64 else 0)
+             for p in pays]
+
+    rows_l = (nl + n_dev - 1) // n_dev
+    rows_r = (nr + n_dev - 1) // n_dev
+    caps = [max(2 * rows_l // n_dev, 64),
+            max(2 * rows_r // n_dev, 64)]
+    while True:
+        key = (id(m), n_codes, tp, caps[0], caps[1], nl, aggs_spec,
+               pay_dtypes, rows_l, rows_r)
+        f = _mesh_wj_cache.get(key)
+        if f is None:
+            f = _mesh_wjoin_kernel(m, n_codes, tp, caps[0], caps[1],
+                                   nl, aggs_spec, pay_dtypes)
+            _mesh_wj_cache[key] = f
+        outs = f(lc, lo_s, hi_s, rc, rt_s, *pay_s)
+        ovf_l = int(np.asarray(outs[0])[0])
+        ovf_r = int(np.asarray(outs[1])[0])
+        if ovf_l == 0 and ovf_r == 0:
+            break
+        if ovf_l:
+            caps[0] *= 2
+        if ovf_r:
+            caps[1] *= 2
+
+    from ..core.obj import DevPendingSliced
+    out = {}
+    for (out_sid, name, rcol, rtype), lane in zip(aggs,
+                                                  outs[2:]):
+        if name == "count":
+            ot = T.I64
+        elif name in ("avg", "dev"):
+            ot = T.F64
+        elif name == "sum":
+            ot = SUM_TYPE[rtype]
+        else:
+            ot = rtype
+        o = Obj(ot, DevPendingSliced(lane, nl), domain=rcol.domain)
+        o.meta = {}
+        out[out_sid] = o
+    return out
+
+
 # -- entry --------------------------------------------------------------------
 
 def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
@@ -573,6 +793,15 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
             pay_slot[id(rcol)] = len(pay_cols)
             pay_cols.append(rcol)
     pays = [dev.dev_col(c) for c in pay_cols]
+    m = dev.mesh()
+    if m is not None:
+        res = _mesh_window_join(m, lcode, rcode, rt_d, lo_d, hi_d,
+                                nl, nr, n_codes, tp, aggs, pays,
+                                pay_slot)
+        if res is not None:
+            last_profile["engine"] = "dist-wjoin"
+            return res
+    last_profile["engine"] = "device-wjoin"
     # static (tmin, tbits) packing for the boundary sorts when
     # (code, biased time, tie) fit one i64 key
     pack = None

@@ -195,12 +195,16 @@ def _reduceat_ranges(ufunc, a: np.ndarray, li, ri, empty_val):
     bounds[1::2] = ri_ok + 1
     # reduceat quirk: when bounds[i] == bounds[i+1] the result is
     # a[bounds[i]]; our even slots always have li <= ri so slices are
-    # non-empty. Final bound pair may end at len(a): clamp and fix.
-    last_fix = bounds[-1] >= len(a)
+    # non-empty. End bounds of len(a) must clip to len(a)-1 (reduceat
+    # rejects them), which drops the FINAL element from every window
+    # ending at the last row — fold a[-1] back into those windows
+    # (single-row windows at the last position are already exact via
+    # the ind[i] >= ind[i+1] rule).
     bounds_c = np.clip(bounds, 0, len(a) - 1)
     red = ufunc.reduceat(a, bounds_c)[0::2]
-    if last_fix and len(li_ok) and li_ok[-1] == len(a) - 1:
-        red[-1] = a[-1]
+    tail = (ri_ok + 1 >= len(a)) & (li_ok < len(a) - 1)
+    if tail.any():
+        red[tail] = ufunc(red[tail], a[-1])
     out[ok] = red
     return out, ok
 

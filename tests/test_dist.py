@@ -730,3 +730,52 @@ def test_mesh_sort_parity(mesh8):
             dev.set_enabled(True)
             assert s_dev == s_host, q
             assert eng == "dist-sort", (q, eng)
+
+
+def test_mesh_window_join_parity(mesh8):
+    """End-to-end mesh-mode window-join/window-join1 through the
+    interpreter: both tables exchange by key ownership, each chip runs
+    the event-sort window kernel on its partition, and every aggregate
+    kind must match the host path exactly (incl. nulls, empty and
+    prevailing windows)."""
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import wjoin as ew
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    with mesh_env() as dev:
+        rng = np.random.default_rng(91)
+        nl, nr = 8 * 300 + 5, 8 * 500 + 3
+        lk = rng.integers(0, 23, nl).astype(np.int64)
+        lts = np.sort(rng.integers(0, 50_000, nl)).astype(np.int64)
+        rk = rng.integers(0, 23, nr).astype(np.int64)
+        rts = np.sort(rng.integers(0, 50_000, nr)).astype(np.int64)
+        p = rng.uniform(-100, 100, nr)
+        p[rng.integers(0, nr, nr // 25)] = np.nan
+        q_ = rng.integers(-50, 50, nr).astype(np.int64)
+        q_[rng.integers(0, nr, nr // 25)] = T.NULL_I64
+        rt = Runtime()
+        rt.interp.globals[symbols.intern("tr")] = table(
+            vec_sym(["s", "ts"]), [Obj(T.I64, lk), Obj(T.I64, lts)])
+        rt.interp.globals[symbols.intern("qt")] = table(
+            vec_sym(["s", "ts", "p", "q"]),
+            [Obj(T.I64, rk), Obj(T.I64, rts), Obj(T.F64, p),
+             Obj(T.I64, q_)])
+        for fn, w in [("window-join", (-1000, 1000)),
+                      ("window-join", (-5000, 0)),
+                      ("window-join1", (-1000, 1000)),
+                      ("window-join1", (0, 0))]:
+            for aggs in ["{mx: (max p) mn: (min p) c: (count p)}",
+                         "{s: (sum q) a: (avg p) d: (dev p)}",
+                         "{f: (first p) l: (last q) mq: (max q)}"]:
+                q = (f"({fn} [s ts] (map-left + [{w[0]} {w[1]}] "
+                     f"(at tr 'ts)) tr qt {aggs})")
+                dev.set_enabled(True)
+                s_dev = fmt(rt.eval_str(q))
+                eng = ew.last_profile.get("engine")
+                dev.set_enabled(False)
+                s_host = fmt(rt.eval_str(q))
+                dev.set_enabled(True)
+                assert s_dev == s_host, (fn, w, aggs)
+                assert eng == "dist-wjoin", (fn, w, aggs, eng)
