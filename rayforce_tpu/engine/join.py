@@ -177,7 +177,16 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
     n_l, n_r = int(lcode.shape[0]), int(rcode.shape[0])
     m = dev.mesh()
     if m is not None and mode == "first" and ltime is None:
-        # mesh mode: broadcast-build probe fanned over the chips — the
+        if n_r > dev._cfg.get("bcast_max", 1 << 22):
+            # partitioned-build probe: a right side too big to
+            # replicate stays sharded; both sides hash-partition by
+            # key and each chip probes its partition
+            # (parallel/dist.py:dist_eq_probe; the reference's HT
+            # build+probe, index.c:2886-2998, build side partitioned)
+            rids = _mesh_eq(m, lcode, rcode, n_l, n_r)
+            if rids is not None:
+                return rids
+        # broadcast-build probe fanned over the chips — the
         # row-sharded left side probes a replicated right key column
         # (parallel/dist.py:dist_left_probe; the reference's HT
         # build+probe, index.c:2886, with the build side broadcast)
@@ -352,6 +361,48 @@ def sliced_col(lane, n: int, like: Obj) -> Obj:
     o = Obj(like.t, DevPendingSliced(lane, n), domain=like.domain)
     o.meta = {}
     return o
+
+
+_mesh_eq_cache: dict = {}
+
+
+def _mesh_eq(m, lcode, rcode, n_l, n_r):
+    """Partitioned-build mesh join probe glue: shard both code lanes,
+    run parallel/dist.py:dist_eq_probe with capacity retry, return
+    per-left-row global right ids (NULL_I64 absent)."""
+    from ..parallel import dist
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = m.axis_names[0]
+    n_dev = m.shape[axis]
+
+    def shardpad(a, fill):
+        pad = (-int(a.shape[0])) % n_dev
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full(pad, fill, dtype=a.dtype)])
+        return jax.device_put(a, NamedSharding(m, P(axis)))
+
+    lp = shardpad(lcode, np.int64(-1))
+    rp = shardpad(rcode, np.int64(-1))
+    rows_l = (n_l + n_dev - 1) // n_dev
+    rows_r = (n_r + n_dev - 1) // n_dev
+    caps = [max(2 * rows_l // n_dev, 64),
+            max(2 * rows_r // n_dev, 64)]
+    while True:
+        key = (id(m), n_l, caps[0], caps[1], rows_l, rows_r)
+        f = _mesh_eq_cache.get(key)
+        if f is None:
+            f = dist.dist_eq_probe(m, n_l, caps[0], caps[1])
+            _mesh_eq_cache[key] = f
+        ovf_l, ovf_r, rid, has = f(lp, rp)
+        o_l = int(np.asarray(ovf_l)[0])
+        o_r = int(np.asarray(ovf_r)[0])
+        if o_l == 0 and o_r == 0:
+            return jnp.where(has, rid, jnp.int64(T.NULL_I64))
+        if o_l:
+            caps[0] *= 2
+        if o_r:
+            caps[1] *= 2
 
 
 def _mesh_asof(m, lcode, rcode, ltime, rtime, n_l, n_r,

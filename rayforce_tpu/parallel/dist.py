@@ -827,6 +827,96 @@ def dist_left_probe(mesh: Mesh):
     return jax.jit(kernel)
 
 
+def dist_eq_probe(mesh: Mesh, n_total_l: int, cap_l: int,
+                  cap_r: int):
+    """Partitioned-build distributed left/inner-join probe: BOTH sides
+    hash-partition by key % n_dev over the chips (capacity-bounded
+    all_to_all, overflow-counted — never silently dropped), each chip
+    sorts its right partition by (key, global row id) and probes its
+    left partition with a first-match searchsorted, and the matched
+    global right row ids return to the left side's original order.
+
+    dist_left_probe replicates the right key column to every chip —
+    right for a small build side; this path keeps both sides sharded
+    so a right table near HBM size still distributes. The reference's
+    HT build+probe (core/index.c:2886-2998) with the build side
+    partitioned instead of broadcast.
+
+    fn(lkey, rkey) -> (ovf_l[1], ovf_r[1], rid[n_total_l],
+    has[n_total_l]) replicated; lkey/rkey row-sharded i64 (>= 0 for
+    real rows, -1 padding)."""
+    from ..engine import groupby as G
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+             out_specs=(P(), P(), P(), P()), check_rep=False)
+    def kernel(lkey, rkey):
+        nl = lkey.shape[0]
+        nr = rkey.shape[0]
+        me = jax.lax.axis_index(axis).astype(jnp.int64)
+
+        def route(keys, lanes, cap):
+            n = keys.shape[0]
+            live = keys >= 0
+            dest = jnp.where(live, (keys % n_dev).astype(jnp.int32),
+                             np.int32(n_dev))
+            order = jnp.argsort(dest, stable=True)
+            ds = dest[order]
+            live_s = ds < n_dev
+            within = jnp.arange(n, dtype=jnp.int32) - \
+                jnp.searchsorted(ds, ds,
+                                 side="left").astype(jnp.int32)
+            ok = live_s & (within < cap)
+            ovf = jax.lax.psum(
+                (live_s & ~ok).sum().astype(jnp.int64), axis)
+            slot = jnp.where(ok, ds * cap + within,
+                             np.int32(n_dev) * cap)
+            outs = []
+            for lane, fill in lanes:
+                ls = lane[order]
+                buf = jnp.full((n_dev * cap,), fill,
+                               dtype=ls.dtype)
+                buf = buf.at[slot].set(ls, mode="drop")
+                outs.append(jax.lax.all_to_all(
+                    buf.reshape(n_dev, cap), axis, 0, 0,
+                    tiled=False).reshape(-1))
+            return ovf, outs
+
+        lrow = me * nl + jnp.arange(nl, dtype=jnp.int64)
+        ovf_l, (xlk, xlr) = route(
+            lkey, [(lkey, np.int64(-1)),
+                   (lrow, np.int64(G.KEY_MAX))], cap_l)
+        rrow = me * nr + jnp.arange(nr, dtype=jnp.int64)
+        ovf_r, (xrk, xrr) = route(
+            rkey, [(rkey, np.int64(-1)),
+                   (rrow, np.int64(G.KEY_MAX))], cap_r)
+
+        # first-match = smallest global right row id with equal key
+        rpk = jnp.where(xrk >= 0, xrk, jnp.int64(G.KEY_MAX))
+        srk, srr = jax.lax.sort([rpk, xrr], num_keys=2,
+                                is_stable=False)
+        ix = jnp.searchsorted(srk, jnp.maximum(xlk, 0),
+                              side="left")
+        ixc = jnp.clip(ix, 0, srk.shape[0] - 1)
+        has = (srk[ixc] == xlk) & (xlk >= 0)
+        rid = jnp.where(has, srr[ixc], jnp.int64(-1))
+
+        # ---- return to original left order ---------------------------
+        akey = jax.lax.all_gather(
+            jnp.where(xlk >= 0, xlr, jnp.int64(G.KEY_MAX)),
+            axis).reshape(-1)
+        arid = jax.lax.all_gather(rid, axis).reshape(-1)
+        ahas = jax.lax.all_gather(has.astype(jnp.int8),
+                                  axis).reshape(-1)
+        _s, srid, shas = jax.lax.sort([akey, arid, ahas],
+                                      num_keys=1, is_stable=False)
+        return (jnp.reshape(ovf_l, (1,)), jnp.reshape(ovf_r, (1,)),
+                srid[:n_total_l], shas[:n_total_l].astype(bool))
+
+    return jax.jit(kernel)
+
+
 def dist_asof_probe(mesh: Mesh, rows_local_r: int):
     """Distributed asof join: both sides exchanged by key % n_dev
     (per-(src,dst) capacity = the shard size, zero-drop), then each

@@ -779,3 +779,71 @@ def test_mesh_window_join_parity(mesh8):
                 dev.set_enabled(True)
                 assert s_dev == s_host, (fn, w, aggs)
                 assert eng == "dist-wjoin", (fn, w, aggs, eng)
+
+
+def test_mesh_partitioned_join_parity(mesh8):
+    """Partitioned-build distributed left/inner join: right side ~ left
+    size, bcast_max forced to 0 so the probe takes the both-sides
+    hash-partition path (dist_eq_probe) instead of broadcasting the
+    build side; results must match the host joins exactly."""
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+    from rayforce_tpu.core.fmt import format_top as fmt
+
+    with mesh_env() as dev:
+        old = dev._cfg.get("bcast_max")
+        dev._cfg["bcast_max"] = 0
+        try:
+            rng = np.random.default_rng(131)
+            nl = 8 * 600 + 3
+            nr = 8 * 550 + 1
+            lk = rng.integers(0, 2000, nl).astype(np.int64)
+            rk = rng.permutation(4000)[:nr].astype(np.int64)
+            rt = Runtime()
+            rt.interp.globals[symbols.intern("l")] = table(
+                vec_sym(["k", "v"]),
+                [Obj(T.I64, lk), Obj(T.F64, rng.uniform(0, 10, nl))])
+            rt.interp.globals[symbols.intern("r")] = table(
+                vec_sym(["k", "w"]),
+                [Obj(T.I64, rk),
+                 Obj(T.I64, rng.integers(0, 1000, nr)
+                     .astype(np.int64))])
+            for q in ["(left-join [k] l r)", "(inner-join [k] l r)"]:
+                dev.set_enabled(True)
+                s_dev = fmt(rt.eval_str(q))
+                dev.set_enabled(False)
+                s_host = fmt(rt.eval_str(q))
+                dev.set_enabled(True)
+                assert s_dev == s_host, q
+        finally:
+            if old is None:
+                dev._cfg.pop("bcast_max", None)
+            else:
+                dev._cfg["bcast_max"] = old
+
+
+def test_dist_eq_probe_dup_keys(mesh8):
+    """dist_eq_probe first-match semantics with duplicate right keys:
+    the matched id must be the smallest ORIGINAL right row id."""
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(17)
+    n = 8 * 200
+    lk = rng.integers(0, 60, n).astype(np.int64)
+    rk = rng.integers(0, 90, n).astype(np.int64)   # many duplicates
+    ld, _ = dist.shard_rows(mesh8, lk)
+    rd, _ = dist.shard_rows(mesh8, rk)
+    f = dist.dist_eq_probe(mesh8, n, 64, 64)
+    ovf_l, ovf_r, rid, has = f(ld, rd)
+    assert int(np.asarray(ovf_l)[0]) == 0
+    assert int(np.asarray(ovf_r)[0]) == 0
+    rid = np.asarray(rid)
+    has = np.asarray(has)
+    first = {}
+    for i, k in enumerate(rk):
+        first.setdefault(int(k), i)
+    for i in range(n):
+        if int(lk[i]) in first:
+            assert has[i] and rid[i] == first[int(lk[i])], i
+        else:
+            assert not has[i], i
