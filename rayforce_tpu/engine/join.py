@@ -407,13 +407,13 @@ def _mesh_eq(m, lcode, rcode, n_l, n_r):
 
 def _mesh_asof(m, lcode, rcode, ltime, rtime, n_l, n_r,
                code_bound):
-    """Mesh-mode asof probe: both sides hash-partition by key code
-    over the chips (parallel/dist.py:dist_asof_probe routes rows with
-    per-(src,dst) capacity = the shard size — zero-drop), each chip
-    runs the last-<= probe locally, and the matched RIGHT ROW IDS ride
-    the exchange as exactly-representable f64 payloads. Falls back
-    (None) when (code, biased time) exceed the probe's packed-key
-    budget (codes < 2^31, time span < 2^31)."""
+    """Mesh-mode asof probe: a ring probe — left rows stay in place,
+    each chip sorts its local right shard once, and the sorted shards
+    rotate over ICI with a running best-candidate fold
+    (parallel/dist.py:dist_asof_probe — skew-immune, O(shard) memory).
+    Matched RIGHT ROW IDS ride as exactly-representable f64 payloads.
+    Falls back (None) when (code, biased time) exceed the probe's
+    packed-key budget (codes < 2^31, time span < 2^31)."""
     try:
         llo, lhi = dev.column_range(ltime)
         rlo, rhi = dev.column_range(rtime)
@@ -446,8 +446,7 @@ def _mesh_asof(m, lcode, rcode, ltime, rtime, n_l, n_r,
     rts = shardpad(rt_, np.int64(0))
     rid_global = jnp.arange(n_r, dtype=jnp.int64).astype(jnp.float64)
     rv = shardpad(rid_global, np.float64(np.nan))
-    rows_local_r = (n_r + n_dev - 1) // n_dev
-    f = dist.dist_asof_probe(m, rows_local_r)
+    f = dist.dist_asof_probe(m)
     val, hit = f(lk, lts, rk, rts, rv)
     val = jnp.asarray(val).reshape(-1)[:n_l]
     hit = jnp.asarray(hit).reshape(-1)[:n_l]

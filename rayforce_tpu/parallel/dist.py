@@ -509,6 +509,25 @@ def dist_wide_groupby_auto(mesh: Mesh, rows_local: int,
     return run
 
 
+_MED_KPER = 16    # locally-heavy candidate slots per chip (cheap:
+#                   selection cost is K tiny binary-search lanes; only
+#                   the per-lane presort scales with rows)
+
+
+def _f64_sortable(v):
+    """Monotone f64 -> i64 map (negative floats reflect below the
+    positives); `u` domain = sortable + 2^63 as uint64 so bitwise
+    trial enumeration runs high-to-low."""
+    b = jax.lax.bitcast_convert_type(v, jnp.int64)
+    return jnp.where(b >= 0, b,
+                     (~b) + jnp.int64(-0x8000000000000000))
+
+
+def _f64_unsortable(s):
+    b = jnp.where(s >= 0, s, ~(s + jnp.int64(-0x8000000000000000)))
+    return jax.lax.bitcast_convert_type(b, jnp.float64)
+
+
 def dist_med_groupby(mesh: Mesh, rows_local: int, cap: int,
                      out_cap: int, n_lanes: int):
     """Distributed grouped MEDIAN: median is not decomposable, so rows
@@ -516,6 +535,16 @@ def dist_med_groupby(mesh: Mesh, rows_local: int, cap: int,
     radix-partition scatter, core/index.c:2556, on ICI) — every group
     lands complete on one chip, where a (code, value) sort + selection
     computes it exactly (core/aggr.c med over sorted per-group rows).
+
+    SKEW HANDLING: any code that is locally heavy on some chip (local
+    run > cap/2 — by pigeonhole every globally heavy code is) becomes
+    a CANDIDATE whose rows never ride the exchange. Candidate medians
+    come from an in-place distributed rank selection instead: a 64-bit
+    binary search over the monotone f64 bit space, counting
+    rank-below-trial per chip over presorted candidate runs and
+    psum-combining — exchange capacity stays O(rows/n_dev) under any
+    key skew (the repartitioning BASELINE.md mandates, without moving
+    a single heavy row).
 
     fn(codes, *lanes) with row-sharded i64 codes (-1 = masked) and
     n_lanes f64 value lanes (nulls as NaN; XLA total order sorts NaN
@@ -529,6 +558,8 @@ def dist_med_groupby(mesh: Mesh, rows_local: int, cap: int,
     n_dev = mesh.shape[axis]
     BIG = np.int32(1 << 30)
     m = n_dev * cap
+    K = n_dev * _MED_KPER
+    theta = max(cap // 2, 1)
 
     @partial(shard_map, mesh=mesh,
              in_specs=tuple(P(axis) for _ in range(1 + n_lanes)),
@@ -539,8 +570,117 @@ def dist_med_groupby(mesh: Mesh, rows_local: int, cap: int,
         n = codes.shape[0]
         rid = me * n + jnp.arange(n, dtype=jnp.int64)
 
-        # ---- raw-row shuffle by code ownership -----------------------
-        live = codes >= 0
+        # ---- locally-heavy candidate detection -----------------------
+        ckey = jnp.where(codes >= 0, codes, jnp.int64(G.KEY_MAX))
+        csort = jax.lax.sort([ckey], num_keys=1, is_stable=False)[0]
+        cvalid = csort != G.KEY_MAX
+        cflags = cvalid & jnp.concatenate(
+            [jnp.ones(1, bool), csort[1:] != csort[:-1]])
+        csegid = jnp.cumsum(cflags.astype(jnp.int32) +
+                            (~cvalid).astype(jnp.int32))
+        runlen = G.seg_doubling_sum(csegid[::-1],
+                                    jnp.ones(n, jnp.int64))[::-1]
+        heavy_b = cflags & (runlen > theta)
+        n_heavy = heavy_b.sum().astype(jnp.int64)
+        ovf_cand = jax.lax.psum(
+            jnp.maximum(n_heavy - _MED_KPER, 0), axis)
+        # top-K_PER local candidates by run length
+        hkey = jnp.where(heavy_b, -runlen, jnp.int64(G.KEY_MAX))
+        _hk, hc = jax.lax.sort(
+            [hkey, jnp.where(heavy_b, csort, -1)], num_keys=1,
+            is_stable=False)
+        cand_local = hc[:_MED_KPER]
+        # gather + dedup (duplicate lanes would emit duplicate groups)
+        cand = jax.lax.all_gather(cand_local, axis).reshape(-1)
+        cand = jax.lax.sort([jnp.where(cand >= 0, cand,
+                                       jnp.int64(G.KEY_MAX))],
+                            num_keys=1, is_stable=False)[0]
+        dup = jnp.concatenate([jnp.zeros(1, bool),
+                               cand[1:] == cand[:-1]])
+        cand = jnp.where(dup | (cand == G.KEY_MAX), jnp.int64(-1),
+                         cand)
+        cand_s = jnp.where(cand >= 0, cand, jnp.int64(G.KEY_MAX))
+        # per-row candidate index via one binary search (cand sorted
+        # ascending with KEY_MAX holes at the end after this re-sort)
+        cand_s = jax.lax.sort([cand_s], num_keys=1,
+                              is_stable=False)[0]
+        cix = jnp.searchsorted(cand_s, codes).astype(jnp.int32)
+        cixc = jnp.clip(cix, 0, K - 1)
+        is_heavy = (cand_s[cixc] == codes) & (codes >= 0)
+        cand_of_row = jnp.where(is_heavy, cixc, np.int32(K))
+
+        # ---- heavy candidates: distributed rank selection ------------
+        heavy_meds = []
+        for rl in lanes:
+            u = _f64_sortable(rl).astype(jnp.uint64) + \
+                jnp.uint64(0x8000000000000000)
+            nul = jnp.isnan(rl)
+            ci = jnp.where(is_heavy & ~nul, cand_of_row,
+                           np.int32(K))
+            sci, su = jax.lax.sort([ci, u], num_keys=2,
+                                   is_stable=False)
+            kk = jnp.arange(K, dtype=jnp.int32)
+            starts = jnp.searchsorted(sci, kk, side="left")
+            ends = jnp.searchsorted(sci, kk, side="right")
+            e = jax.lax.psum((ends - starts).astype(jnp.int64),
+                             axis)
+            r1 = jnp.maximum((e - 1) // 2, 0)
+            r2 = e // 2
+            ranks = jnp.stack([r1, r2], axis=1)     # (K, 2)
+
+            def count_below(trial):
+                """rank of `trial` inside each candidate's sorted run
+                (vectorized binary search, per-(K,2) lane bounds)."""
+                lo = jnp.broadcast_to(starts[:, None],
+                                      (K, 2)).astype(jnp.int64)
+                hi = jnp.broadcast_to(ends[:, None],
+                                      (K, 2)).astype(jnp.int64)
+                steps = max(int(n).bit_length() + 1, 1)
+
+                def body(_i, lh):
+                    lo_, hi_ = lh
+                    mid = (lo_ + hi_) // 2
+                    midc = jnp.clip(mid, 0, n - 1)
+                    below = su[midc] < trial
+                    go = lo_ < hi_
+                    lo2 = jnp.where(go & below, mid + 1, lo_)
+                    hi2 = jnp.where(go & ~below, mid, hi_)
+                    return (lo2, hi2)
+
+                lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+                return lo - starts[:, None]
+
+            cur = jnp.zeros((K, 2), jnp.uint64)
+
+            def bit_body(i, cur_):
+                bit = jnp.uint64(63) - jnp.uint64(i)
+                trial = cur_ | (jnp.uint64(1) << bit)
+                cnt = jax.lax.psum(count_below(trial), axis)
+                return jnp.where(cnt <= ranks, trial, cur_)
+
+            cur = jax.lax.fori_loop(0, 64, bit_body, cur)
+            sel = _f64_unsortable(
+                (cur - jnp.uint64(0x8000000000000000))
+                .astype(jnp.int64))
+            mv = (sel[:, 0] + sel[:, 1]) / 2.0
+            heavy_meds.append(
+                jnp.where(e == 0, jnp.float64(np.nan), mv))
+
+        # candidate first-row ids + presence (counting null rows too)
+        ci_all = jnp.where(is_heavy, cand_of_row, np.int32(K))
+        hfid = jax.ops.segment_min(rid, ci_all.astype(jnp.int32),
+                                   num_segments=K + 1)[:K]
+        hfid = jax.lax.pmin(hfid, axis)
+        hcnt = jax.lax.psum(
+            jax.ops.segment_sum(jnp.ones(n, jnp.int64),
+                                ci_all.astype(jnp.int32),
+                                num_segments=K + 1)[:K], axis)
+        hvalid = (cand_s != G.KEY_MAX) & (hcnt > 0)
+        hcode = jnp.where(hvalid, cand_s, jnp.int64(-1))
+        hfid = jnp.where(hvalid, hfid, jnp.int64(G.KEY_MAX))
+
+        # ---- raw-row shuffle by code ownership (light rows) ----------
+        live = (codes >= 0) & ~is_heavy
         dest = jnp.where(live, (codes % n_dev).astype(jnp.int32),
                          np.int32(n_dev))
         order = jnp.argsort(dest, stable=True)
@@ -607,16 +747,21 @@ def dist_med_groupby(mesh: Mesh, rows_local: int, cap: int,
             jnp.maximum(my_ng - out_cap, 0).astype(jnp.int64), axis)
 
         # ---- gather + global first-appearance order ------------------
-        acode = jax.lax.all_gather(gcode, axis).reshape(-1)
-        afidx = jax.lax.all_gather(fidx, axis).reshape(-1)
-        ameds = [jax.lax.all_gather(mv_, axis).reshape(-1)
-                 for mv_ in meds]
+        # heavy candidate lanes are replicated (psum/pmin-combined), so
+        # they append ONCE to the gathered light groups
+        acode = jnp.concatenate(
+            [jax.lax.all_gather(gcode, axis).reshape(-1), hcode])
+        afidx = jnp.concatenate(
+            [jax.lax.all_gather(fidx, axis).reshape(-1), hfid])
+        ameds = [jnp.concatenate(
+            [jax.lax.all_gather(mv_, axis).reshape(-1), hm])
+            for mv_, hm in zip(meds, heavy_meds)]
         fkey = jnp.where(acode >= 0, afidx, jnp.int64(G.KEY_MAX))
         out = jax.lax.sort([fkey, acode] + ameds, num_keys=1,
                            is_stable=False)
         ng = (out[1] >= 0).sum().astype(jnp.int64)
         return tuple([jnp.reshape(ng, (1,)),
-                      jnp.reshape(ovf_ex, (1,)),
+                      jnp.reshape(ovf_ex + ovf_cand, (1,)),
                       jnp.reshape(ovf_out, (1,)),
                       out[1], out[0]] + list(out[2:]))
 
@@ -917,78 +1062,72 @@ def dist_eq_probe(mesh: Mesh, n_total_l: int, cap_l: int,
     return jax.jit(kernel)
 
 
-def dist_asof_probe(mesh: Mesh, rows_local_r: int):
-    """Distributed asof join: both sides exchanged by key % n_dev
-    (per-(src,dst) capacity = the shard size, zero-drop), then each
-    chip runs the local last-<= probe over its key partition; results
-    return to the left side's original row order via all_gather + sort
-    by global left row id. Replicated outputs (value, has) of the full
-    left length. Times must be < 2^31 (packed below the key)."""
+def dist_asof_probe(mesh: Mesh):
+    """Distributed asof join as a RING PROBE: left rows never move
+    (they stay row-sharded, so results need no return-to-order sort),
+    each chip sorts only its LOCAL right shard by packed (key<<31|ts)
+    once, and the sorted shards rotate around the ring (ppermute) in
+    n_dev steps. Every step binary-searches the local left probes into
+    the visiting shard and folds the candidate into a running
+    lexicographic max on (packed key, total-order payload bits).
+
+    Skew-immune by construction (the repartitioning BASELINE.md
+    mandates, taken to its limit): there is no key-routed exchange at
+    all, so a 99:1 hot key costs exactly what a uniform key does —
+    memory stays O(shard) and the per-chip work is n_dev binary-search
+    sweeps, vs the full-table-sized padded exchange sort the previous
+    key-mod-n_dev design paid even without skew
+    (/root/reference/core/join.c asof builds one HT per key; the ring
+    replaces its probe with ordered binary search over ICI).
+
+    fn(lkey, lts, rkey, rts, rval) all row-sharded; returns
+    (value, has) row-sharded in the left side's original order.
+    Equal (key, ts) rows resolve to the highest payload (with row-id
+    payloads that is the reference's last-by-position tie rule).
+    Times must be < 2^31 (packed below the key)."""
     from ..engine import groupby as G
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
-    BIG = np.int32(1 << 30)
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+    IMIN = jnp.int64(-0x8000000000000000)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-             out_specs=(P(), P()), check_rep=False)
+             out_specs=(P(axis), P(axis)), check_rep=False)
     def kernel(lkey, lts, rkey, rts, rval):
         nl = lkey.shape[0]
         nr = rkey.shape[0]
-        me = jax.lax.axis_index(axis).astype(jnp.int64)
 
-        def route(keys, lanes, cap):
-            n = keys.shape[0]
-            dest = (keys % n_dev).astype(jnp.int32)
-            order = jnp.argsort(dest, stable=True)
-            dest_s = dest[order]
-            within = jnp.arange(n, dtype=jnp.int32) - \
-                jnp.searchsorted(dest_s, dest_s,
-                                 side="left").astype(jnp.int32)
-            slot = dest_s * cap + within
-            outs = []
-            for lane, fill in lanes:
-                ls = lane[order]
-                buf = jnp.full((n_dev * cap,), fill, dtype=ls.dtype)
-                buf = buf.at[slot].set(ls, mode="drop")
-                outs.append(jax.lax.all_to_all(
-                    buf.reshape(n_dev, cap), axis, 0, 0,
-                    tiled=False).reshape(-1))
-            return outs
-
-        lrow = me * nl + jnp.arange(nl, dtype=jnp.int64)
-        xlk, xlt, xlr = route(lkey, [(lkey, np.int64(-1)),
-                                     (lts, np.int64(0)),
-                                     (lrow, np.int64(-1))], nl)
-        xrk, xrt, xrv = route(rkey, [(rkey, np.int64(-1)),
-                                     (rts, np.int64(0)),
-                                     (rval, np.float64(np.nan))],
-                              rows_local_r)
-
-        # local last-<= probe: sort right by key<<31|ts, searchsorted
-        rpk = jnp.where(xrk >= 0, (xrk << 31) | xrt,
+        rpk = jnp.where(rkey >= 0, (rkey << 31) | rts,
                         jnp.int64(G.KEY_MAX))
-        # payload as a secondary key: equal (key, ts) rows resolve
-        # deterministically to the highest payload — with row-id
-        # payloads (the interpreter path) that is the reference's
-        # last-by-original-position tie rule
-        srk, srv = jax.lax.sort([rpk, xrv], num_keys=2)
-        lpk = (jnp.maximum(xlk, 0) << 31) | xlt
-        ix = jnp.searchsorted(srk, lpk, side="right") - 1
-        ixc = jnp.clip(ix, 0, srk.shape[0] - 1)
-        hit = (ix >= 0) & ((srk[ixc] >> 31) == xlk) & (xlk >= 0)
-        val = jnp.where(hit, srv[ixc], jnp.float64(np.nan))
+        # payload in monotone total-order bits: the i64 compare below
+        # matches XLA's f64 total order (NaN payloads sort highest)
+        srk, svs = jax.lax.sort([rpk, _f64_sortable(rval)],
+                                num_keys=2, is_stable=False)
+        lpk = (jnp.maximum(lkey, 0) << 31) | lts
 
-        # ---- return to original left order ---------------------------
-        arow = jax.lax.all_gather(jnp.where(xlk >= 0, xlr,
-                                            jnp.int64(G.KEY_MAX)),
-                                  axis).reshape(-1)
-        aval = jax.lax.all_gather(val, axis).reshape(-1)
-        ahit = jax.lax.all_gather(hit, axis).reshape(-1)
-        srow, sval2, shit = jax.lax.sort(
-            [arow, aval, ahit.astype(jnp.int8)], num_keys=1,
-            is_stable=False)
-        total = n_dev * nl
-        return sval2[:total], shit[:total].astype(bool)
+        def step(_i, carry):
+            srk_, svs_, bpk, bvs = carry
+            ix = jnp.searchsorted(srk_, lpk, side="right") - 1
+            ixc = jnp.clip(ix, 0, nr - 1)
+            ok = (ix >= 0) & ((srk_[ixc] >> 31) == lkey) & \
+                (lkey >= 0)
+            cpk = jnp.where(ok, srk_[ixc], jnp.int64(-1))
+            cvs = jnp.where(ok, svs_[ixc], IMIN)
+            better = (cpk > bpk) | ((cpk == bpk) & (cvs > bvs))
+            bpk = jnp.where(better, cpk, bpk)
+            bvs = jnp.where(better, cvs, bvs)
+            srk_ = jax.lax.ppermute(srk_, axis, perm)
+            svs_ = jax.lax.ppermute(svs_, axis, perm)
+            return srk_, svs_, bpk, bvs
+
+        _, _, bpk, bvs = jax.lax.fori_loop(
+            0, n_dev, step,
+            (srk, svs, jnp.full(nl, jnp.int64(-1)),
+             jnp.full(nl, IMIN)))
+        hit = bpk >= 0
+        val = jnp.where(hit, _f64_unsortable(bvs),
+                        jnp.float64(np.nan))
+        return val, hit
 
     return jax.jit(kernel)

@@ -315,7 +315,7 @@ def test_dist_asof_probe(mesh8):
     rd, _ = dist.shard_rows(mesh8, rk)
     rtd, _ = dist.shard_rows(mesh8, rt_)
     rvd, _ = dist.shard_rows(mesh8, rv)
-    f = dist.dist_asof_probe(mesh8, 384)
+    f = dist.dist_asof_probe(mesh8)
     val, has = f(ld, ltd, rd, rtd, rvd)
     val = np.asarray(val)[:n]
     has = np.asarray(has)[:n]
@@ -607,6 +607,56 @@ def test_dist_med_groupby(mesh8):
         e = len(b_vals)
         ref = (b_vals[(e - 1) // 2] + b_vals[e // 2]) / 2.0
         assert mb[i] == ref, c
+
+
+def test_dist_med_groupby_skewed(mesh8):
+    """99:1 skewed median (the aj.rfl shape): heavy keys never ride
+    the raw-row exchange — their medians come from the distributed
+    rank selection — so the kernel succeeds at the INITIAL capacity
+    (ovf lanes 0: exchange stays O(rows/n_dev) under any skew) and is
+    still exact, nulls included."""
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(33)
+    per = 512
+    n = 8 * per
+    n_dev = 8
+    # ~99% of rows on 2 heavy keys, remainder over 400 light keys
+    codes = rng.integers(0, 400, n).astype(np.int64)
+    hot = rng.random(n) < 0.99
+    codes[hot] = np.where(rng.random(hot.sum()) < 0.7, 137, 22)
+    codes[rng.random(n) < 0.02] = -1
+    va = rng.uniform(-1000, 1000, n)
+    va[rng.random(n) < 0.15] = np.nan
+    vb = rng.standard_normal(n) * 1e6
+    cd, _ = dist.shard_rows(mesh8, codes)
+    vad, _ = dist.shard_rows(mesh8, va)
+    vbd, _ = dist.shard_rows(mesh8, vb)
+    cap = max(2 * per // n_dev, 64)       # the auto wrapper's initial
+    run = dist.dist_med_groupby(mesh8, per, cap, cap, 2)
+    out = run(cd, vad, vbd)
+    assert int(np.asarray(out[1])[0]) == 0   # no exchange ballooning
+    assert int(np.asarray(out[2])[0]) == 0
+    ng = int(np.asarray(out[0])[0])
+    code = np.asarray(out[3])[:ng]
+    ma = np.asarray(out[5])[:ng]
+    mb = np.asarray(out[6])[:ng]
+    keep = codes >= 0
+    seen = {}
+    for i, c in enumerate(codes):
+        if c >= 0 and c not in seen:
+            seen[c] = i
+    ref_codes = sorted(seen, key=lambda c: seen[c])
+    assert ng == len(ref_codes)
+    assert np.array_equal(code, np.asarray(ref_codes))
+    for i, c in enumerate(code):
+        sel = keep & (codes == c)
+        for vals, got in ((va, ma[i]), (vb, mb[i])):
+            v = np.sort(vals[sel][~np.isnan(vals[sel])])
+            if len(v) == 0:
+                assert np.isnan(got), c
+            else:
+                e = len(v)
+                assert got == (v[(e - 1) // 2] + v[e // 2]) / 2.0, c
 
 
 @pytest.mark.skipif(not os.environ.get("RAYFORCE_FUZZ_EXTENDED"),
