@@ -22,6 +22,18 @@ query + commit id to bench/results.json and prints a diff vs the
 previous recorded run (the reference's bench harness behavior,
 bench/main.c:152-257, 366-415).
 
+bench.py --mesh N [--mesh-out FILE] — the WEAK-SCALING harness over
+the 5 BASELINE.md configs (filter+sum, multi-key aggregate, join +
+sort order-by, asof/window joins, skewed-key suite): per-device rows
+held fixed, each config measured at 1 device and N devices, with
+rows/s and exchanged ICI bytes per query (parallel/dist.py traffic
+model) recorded to the artifact. On one host it builds the N-device
+virtual CPU mesh (wall-clock "scaling" there shares one socket, so
+the ideal N-device time is N x the 1-device time — virt_eff reports
+against that; exchanged bytes/row is the hardware-transferable
+signal). On a real pod (RAYFORCE_COORDINATOR set) the same harness
+runs unchanged and eff = t1/tN is true weak scaling.
+
 Prints ONE JSON line: geometric-mean speedup over the reference
 baselines. Per-query details go to stderr.
 """
@@ -53,7 +65,192 @@ def log(*a):
 # loop below explicitly forces and blocks on them.)
 
 
+def mesh_main(n_dev, out_path):
+    on_pod = bool(os.environ.get("RAYFORCE_COORDINATOR"))
+    import jax
+    if not on_pod:
+        # one-host run: virtual CPU mesh (must precede backend init)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_dev)
+    from rayforce_tpu import Runtime
+    from rayforce_tpu.engine import device as dev
+    from rayforce_tpu.parallel import dist
+    from rayforce_tpu.core.obj import Obj, table, vec_sym
+    from rayforce_tpu.core import types as T, symbols
+
+    R = int(os.environ.get("RAYFORCE_MESHBENCH_ROWS", "500000"))
+
+    def set_mesh(n):
+        if n > 1:
+            os.environ["RAYFORCE_MESH"] = str(n)
+        else:
+            os.environ.pop("RAYFORCE_MESH", None)
+        dev._mesh_state.clear()
+        dev._mesh_state.update({"mesh": None, "checked": False})
+
+    def put(rt, name, cols):
+        t_ = table(vec_sym(list(cols)),
+                   [Obj(T.F64 if a.dtype == np.float64 else T.I64, a)
+                    for a in cols.values()])
+        rt.interp.globals[symbols.intern(name)] = t_
+        return t_
+
+    def force(res):
+        try:
+            _, cols_ = res.v
+        except Exception:
+            return
+        arrs = [c.pending().arr for c in cols_
+                if hasattr(c, "pending") and c.pending() is not None]
+        jax.block_until_ready(arrs)
+
+    def timed(rt, queries):
+        """Warm up (compiles), then best-of-2 on the whole query list;
+        exchange bytes snapshot around one measured pass."""
+        for q in queries:
+            force(rt.eval_str(q))
+        best = None
+        xbytes = 0
+        for _ in range(2):
+            dist.reset_stats()
+            t0 = time.perf_counter()
+            for q in queries:
+                force(rt.eval_str(q))
+            ms = (time.perf_counter() - t0) * 1000
+            if best is None or ms < best:
+                best = ms
+                xbytes = dist.stats["exchanged_bytes"]
+        return best, xbytes
+
+    def g1(rng, rows):
+        return {"id1": rng.integers(0, 100, rows).astype(np.int64),
+                "id2": rng.integers(0, 100, rows).astype(np.int64),
+                "id3": rng.integers(0, 100_000, rows)
+                .astype(np.int64),
+                "v1": rng.integers(1, 6, rows).astype(np.int64),
+                "v2": rng.integers(1, 16, rows).astype(np.int64),
+                "v3": rng.uniform(0, 100, rows)}
+
+    def build_fs(rt, rows, rng):
+        put(rt, "t", g1(rng, rows))
+        return ["(select {s: (sum v1) c: (count v1) from: t "
+                "where: (> v3 50.0)})"]
+
+    def build_agg(rt, rows, rng):
+        put(rt, "t", g1(rng, rows))
+        return ["(select {s1: (sum v1) a: (avg v2) from: t "
+                "by: {id1: id1 id2: id2}})"]
+
+    def build_joinsort(rt, rows, rng):
+        put(rt, "t", g1(rng, rows))
+        nr = rows // 2
+        put(rt, "r", {"id3": rng.permutation(200_000)[:nr]
+                      .astype(np.int64),
+                      "w1": rng.uniform(0, 100, nr)})
+        return ["(inner-join [id3] t r)", "(xasc t [id3 v1])"]
+
+    def build_asofwj(rt, rows, rng):
+        nq = 2 * rows
+        put(rt, "tr", {"s": rng.integers(0, 1000, rows)
+                       .astype(np.int64),
+                       "ts": np.sort(rng.integers(
+                           0, 1 << 28, rows)).astype(np.int64),
+                       "px": rng.uniform(10, 200, rows)})
+        put(rt, "qt", {"s": rng.integers(0, 1000, nq)
+                       .astype(np.int64),
+                       "ts": np.sort(rng.integers(
+                           0, 1 << 28, nq)).astype(np.int64),
+                       "p": rng.uniform(10, 200, nq)})
+        return ["(asof-join [s ts] tr qt)",
+                "(window-join1 [s ts] (map-left + [-100000 100000] "
+                "(at tr 'ts)) tr qt {mx: (max p) mn: (min p)})"]
+
+    def build_skew(rt, rows, rng):
+        # 99:1 hot key (SURVEY Appendix B's aj.rfl shape)
+        hot = rng.uniform(0, 1, rows) < 0.99
+        k = np.where(hot, 7, rng.integers(0, 1000, rows))\
+            .astype(np.int64)
+        put(rt, "t", {"k": k, "v": rng.uniform(0, 100, rows)})
+        nr = rows // 2
+        rk = np.where(rng.uniform(0, 1, nr) < 0.99, 7,
+                      rng.integers(0, 2000, nr)).astype(np.int64)
+        put(rt, "r", {"k": rk, "w": rng.uniform(0, 100, nr)})
+        return ["(inner-join [k] t r)",
+                "(select {m: (med v) s: (sum v) from: t by: k})"]
+
+    configs = [("filter_sum", build_fs),
+               ("multikey_agg", build_agg),
+               ("join_sort", build_joinsort),
+               ("asof_window_join", build_asofwj),
+               ("skewed_suite", build_skew)]
+
+    dev.set_enabled(True)
+    dev.set_threshold(1)
+    report = {}
+    effs = []
+    for name, build in configs:
+        row = {}
+        for n in (1, n_dev):
+            set_mesh(n)
+            rows = R * n
+            rt = Runtime()
+            rng = np.random.default_rng(7)
+            queries = build(rt, rows, rng)
+            ms, xb = timed(rt, queries)
+            tag = "1" if n == 1 else "N"
+            row[f"ms_{tag}"] = round(ms, 1)
+            row[f"rows_{tag}"] = rows
+            row[f"rows_per_s_{tag}"] = round(rows / (ms / 1000))
+            if n > 1:
+                row["exchanged_bytes"] = xb
+                row["bytes_per_row"] = round(xb / rows, 1)
+        if on_pod:
+            row["weak_scaling_eff"] = round(
+                row["ms_1"] / row["ms_N"], 3)
+        else:
+            row["virt_eff"] = round(
+                n_dev * row["ms_1"] / row["ms_N"], 3)
+        effs.append(row.get("weak_scaling_eff",
+                            row.get("virt_eff", 0.0)))
+        report[name] = row
+        log(f"{name}: 1dev {row['ms_1']} ms | {n_dev}dev "
+            f"{row['ms_N']} ms | eff {effs[-1]} | "
+            f"{row['bytes_per_row']} B/row exchanged")
+
+    geo = float(np.exp(np.mean(np.log(np.maximum(effs, 1e-9)))))
+    artifact = {
+        "n_devices": n_dev,
+        "platform": "pod" if on_pod else "cpu-virtual",
+        "per_device_rows": R,
+        "efficiency_semantics":
+            ("weak_scaling_eff = t_1dev / t_Ndev (real pod)"
+             if on_pod else
+             "virt_eff = N*t_1dev / t_Ndev — all N virtual devices "
+             "share one socket, so ideal weak scaling is t_N = "
+             "N*t_1; exchanged bytes/row is the "
+             "hardware-transferable signal"),
+        "configs": report,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    log(f"recorded to {out_path}")
+    print(json.dumps({
+        "metric": "meshbench_eff_geomean",
+        "value": round(geo, 3), "unit": "x",
+        "vs_baseline": round(geo / 0.8, 3),
+        "detail": {k: v.get("weak_scaling_eff", v.get("virt_eff"))
+                   for k, v in report.items()},
+    }))
+
+
 def main():
+    if "--mesh" in sys.argv:
+        i = sys.argv.index("--mesh")
+        n = int(sys.argv[i + 1])
+        out = "MESHBENCH_r03.json"
+        if "--mesh-out" in sys.argv:
+            out = sys.argv[sys.argv.index("--mesh-out") + 1]
+        return mesh_main(n, out)
     record = "--record" in sys.argv
     from rayforce_tpu import Runtime
     from rayforce_tpu.engine import device as dev

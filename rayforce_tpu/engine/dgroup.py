@@ -282,19 +282,24 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
 
     code_builder = make_builder(lane_exprs, lane_maps)
     n_lanes = len(lane_ops)
-    cap = [max(2 * rows_local, 64)]
+    # per-chip ownership bound (ceil(n_codes/n_dev) codes land on
+    # each chip under mod ownership) tightens the merge capacity for
+    # dense-ish spaces — buffers shrink from rows_local to
+    # ~n_codes/n_dev (dist.dist_wide_groupby docstring); wide spaces
+    # keep the row-bound + doubling retry
+    cap = [max(min(2 * rows_local, -(-n_codes // n_dev)), 64)]
     kernels = {}
 
     def make(c):
         base = dist.dist_wide_groupby(mesh, rows_local, c,
-                                      plan.lane_ops)
+                                      plan.lane_ops, n_codes)
         sm = sharded(code_builder, 1 + n_lanes)
 
         @jax.jit
         def full(*cs):
             outs = sm(*cs)
-            return base(outs[0], *outs[1:])
-        return full
+            return base.inner(outs[0], *outs[1:])
+        return full, base.est
 
     def run_kernel(cols):
         # overflow-safe: retry with doubled merge capacity (rare —
@@ -303,7 +308,10 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             c = cap[0]
             if c not in kernels:
                 kernels[c] = make(c)
-            outs = kernels[c](*cols)
+            f, est = kernels[c]
+            dist.stats["exchanged_bytes"] += int(est())
+            dist.stats["kernel_calls"] += 1
+            outs = f(*cols)
             ng_, ovf = (int(np.asarray(outs[0])[0]),
                         int(np.asarray(outs[1])[0]))
             if ovf == 0:
@@ -327,15 +335,18 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs, mesh):
             @jax.jit
             def full(*cs):
                 outs = sm(*cs)
-                return base(outs[0], *outs[1:])
-            return full
+                return base.inner(outs[0], *outs[1:])
+            return full, base.est
 
         def run_med(cols):
             while True:
                 key = (mcaps[0], mcaps[1])
                 if key not in med_kernels:
                     med_kernels[key] = make_med(*key)
-                out = med_kernels[key](*cols)
+                f, est = med_kernels[key]
+                dist.stats["exchanged_bytes"] += int(est())
+                dist.stats["kernel_calls"] += 1
+                out = f(*cols)
                 oe = int(np.asarray(out[1])[0])
                 oo = int(np.asarray(out[2])[0])
                 if oe == 0 and oo == 0:

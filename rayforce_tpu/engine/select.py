@@ -770,6 +770,13 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         cols = [dev.dev_col(c) for c in plan.col_objs]
     bufs = plan.fn(*cols)
     t1 = _t.perf_counter()
+    if plan.spmd:
+        # inline psum/pmin/pmax combines: ~2*(n-1)*replicated bytes
+        from ..parallel import dist as _dist
+        nd = m.shape[m.axis_names[0]]
+        rb = sum(b.nbytes for b in jax.tree_util.tree_leaves(bufs))
+        _dist.stats["exchanged_bytes"] += 2 * (nd - 1) * rb
+        _dist.stats["kernel_calls"] += 1
     bufs = jax.device_get(bufs)     # ONE batched device->host transfer
     t2 = _t.perf_counter()
     lanes = G.unpack(bufs, plan.lanes_meta["layout"])

@@ -668,7 +668,11 @@ def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, nl_total,
                       jnp.reshape(ovf_r, (1,))] +
                      [v[:nl_total] for v in srt[1:]])
 
-    return jax.jit(kernel)
+    _a2a = n_dev * (n_dev - 1) * 8 * \
+        (4 * cap_l + (2 + n_pay) * cap_r)
+    _ag = (1 + len(aggs_spec)) * n_dev * (n_dev - 1) * \
+        n_dev * cap_l * 8
+    return dist._counted(jax.jit(kernel), lambda *a: _a2a + _ag)
 
 
 def _mesh_window_join(m, lcode, rcode, rt_d, lo_d, hi_d, nl, nr,

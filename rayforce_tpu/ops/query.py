@@ -183,12 +183,43 @@ _COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max",
             "first": "first", "last": "last"}
 
 
+def _inner_cols_null_free(src, inner) -> bool:
+    """True when every column the compiled inner expression reads is
+    stats-known null-free in EVERY partition (the gate that makes the
+    avg/dev sum+count decomposition exact: grouped sum of a plain
+    column propagates nulls while avg/dev skip them)."""
+    from ..engine import device as dev
+    _names_o, cols = src.v
+    by_name = {}
+    names = to_np(_names_o)
+    for nm, c in zip(names, cols):
+        by_name[int(nm)] = c
+    for ref in inner.cols:
+        pc = by_name.get(symbols.intern(ref.name)
+                         if isinstance(ref.name, str) else ref.name)
+        if pc is None or pc.t not in T.UNPARTED_OF:
+            return False
+        for piece in pc.v:
+            try:
+                if dev.column_has_null(piece):
+                    return False
+            except Exception:
+                return False
+    return True
+
+
 def _stream_device_select(interp, src, outs, where_ast, by_ast):
     """Aggregate a parted table partition-at-a-time on the device and
     combine the (small) per-partition partials on the host — the
-    streaming path for parted DBs larger than device memory. Only
-    combine-decomposable aggregates stream (sum/count/min/max/
-    first/last); avg/med/dev fall back to the host streaming path."""
+    streaming path for parted DBs larger than device memory (the
+    reference's PARTED_MAP partial-merge, core/aggr.c:183-260).
+
+    Combine-decomposable aggregates (sum/count/min/max/first/last)
+    stream directly. avg and dev stream as rewritten sum/count/sumsq
+    partials when their input columns are stats-known null-free in
+    every partition (avg = sum+count; dev = raw second moment —
+    sqrt(Q/C - (S/C)^2), aggr.c map_dev); nullable avg/dev and med
+    fall back to the host streaming path."""
     from ..engine.exprc import split_aggregate
     names_o, cols = src.v
     nparts = len(cols[0].v)
@@ -198,30 +229,68 @@ def _stream_device_select(interp, src, outs, where_ast, by_ast):
         return table(names_o, pieces)
 
     s0 = sub_table(0)
-    combos = []
-    for sid, ast in outs:
+    combos = []      # ("direct", op) | ("avg",) | ("dev",) per out
+    part_outs = []   # rewritten outs driving the per-partition pass
+    b = interp.env.builtin
+    for k, (sid, ast) in enumerate(outs):
         sp = split_aggregate(s0, ast)
-        if sp is None or sp[0] not in _COMBINE:
+        if sp is None:
             return None
-        combos.append((sid, _COMBINE[sp[0]]))
+        op = sp[0]
+        if op in _COMBINE:
+            combos.append(("direct", _COMBINE[op]))
+            part_outs.append((sid, ast))
+        elif op in ("avg", "dev"):
+            if not _inner_cols_null_free(src, sp[1]):
+                return None
+            inner = ast.v[1]
+            s_ast = list_([b("sum"), inner])
+            c_ast = list_([b("count"), inner])
+            if op == "avg":
+                combos.append(("avg",))
+                part_outs.append(
+                    (symbols.intern(f"__ps{k}"), s_ast))
+                part_outs.append(
+                    (symbols.intern(f"__pc{k}"), c_ast))
+            else:
+                # square in f64 (x*1.0 first): narrow int inners (u8,
+                # i16...) would wrap their own dtype when squared
+                xf = list_([b("*"), inner, Obj(-T.F64, 1.0)])
+                q_ast = list_([b("sum"), list_([b("*"), xf, xf])])
+                combos.append(("dev",))
+                part_outs.append(
+                    (symbols.intern(f"__ps{k}"), s_ast))
+                part_outs.append(
+                    (symbols.intern(f"__pq{k}"), q_ast))
+                part_outs.append(
+                    (symbols.intern(f"__pc{k}"), c_ast))
+        else:
+            return None
 
     from ..engine.select import try_select_device
-    partials = []
-    for i in range(nparts):
-        sub = sub_table(i)
-        r = try_select_device(interp, sub, outs, where_ast, by_ast,
-                              None)
-        if r is None:
-            # unsupported shape (or an all-filtered partition, which
-            # is indistinguishable here) -> be conservative, host path
-            return None
-        partials.append(r)
-    if len(partials) == 1:
-        return partials[0]
+
+    def one(i):
+        return try_select_device(interp, sub_table(i), part_outs,
+                                 where_ast, by_ast, None)
+
+    if nparts > 1:
+        # dispatch partitions concurrently: device queues pipeline
+        # transfers/compute across partitions instead of a host sync
+        # between each (the reference's pool fans PARTED_MAP chunks,
+        # core/pool.c pool_map)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, nparts)) as ex:
+            partials = list(ex.map(one, range(nparts)))
+    else:
+        partials = [one(0)]
+    if any(r is None for r in partials):
+        # unsupported shape (or an all-filtered partition, which
+        # is indistinguishable here) -> be conservative, host path
+        return None
 
     # stack partial tables (host, small) and combine
     pnames = to_np(partials[0].v[0])
-    n_keys = len(pnames) - len(outs)
+    n_keys = len(pnames) - len(part_outs)
     stacked = []
     for ci in range(len(pnames)):
         pieces = [p.v[1][ci] for p in partials]
@@ -238,10 +307,42 @@ def _stream_device_select(interp, src, outs, where_ast, by_ast):
         key_cols = stacked[:n_keys]
         gindex = group_multi(key_cols)
     from .aggr import grouped_aggregate
+
+    def gsum_f64(col):
+        return np.bincount(gindex.gids,
+                           weights=to_np(col).astype(np.float64),
+                           minlength=len(gindex.first_ids))
+
     out_cols = [gather(c, gindex.first_ids) for c in key_cols]
-    for (sid, op), col in zip(combos, stacked[n_keys:]):
-        out_cols.append(grouped_aggregate(op, col, gindex))
-    return table(partials[0].v[0], out_cols)
+    pi = n_keys
+    for combo in combos:
+        if combo[0] == "direct":
+            out_cols.append(grouped_aggregate(combo[1], stacked[pi],
+                                              gindex))
+            pi += 1
+        elif combo[0] == "avg":
+            S, C = gsum_f64(stacked[pi]), gsum_f64(stacked[pi + 1])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = S / C
+            out_cols.append(Obj(T.F64, np.where(C == 0, T.NULL_F64,
+                                                v)))
+            pi += 2
+        else:   # dev: population std from raw moments (inputs are
+            #     null-free by the gate above, so C counts them all)
+            S = gsum_f64(stacked[pi])
+            Q = gsum_f64(stacked[pi + 1])
+            C = gsum_f64(stacked[pi + 2])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                m = S / C
+                v = np.sqrt(np.maximum(Q / C - m * m, 0.0))
+            out_cols.append(Obj(T.F64, np.where(C == 0, T.NULL_F64,
+                                                v)))
+            pi += 3
+
+    out_sids = np.concatenate(
+        [pnames[:n_keys],
+         np.array([sid for sid, _a in outs], dtype=pnames.dtype)])
+    return table(Obj(names_o.t, out_sids), out_cols)
 
 
 def _try_device_select(interp, d: Obj):

@@ -46,6 +46,39 @@ def shard_map(f=None, **kw):
     return _shard_map(f, **kw)
 
 
+# -- ICI traffic accounting ---------------------------------------------------
+#
+# Every distributed kernel notes its per-invocation cross-chip traffic
+# so the weak-scaling bench (bench.py --mesh N) can report exchanged
+# bytes per query. The model is the standard ring-algorithm cost:
+#   all_to_all of per-chip buffer B bytes  -> B*(n-1) total on the wire
+#   psum/pmin/pmax of replicated result R  -> 2*R*(n-1)
+#   all_gather of per-chip shard S         -> n*(n-1)*S
+#   ppermute of per-chip shard S           -> n*S per step
+# (BASELINE.md's weak-scaling report wants rows/s AND bytes moved; on a
+# virtual CPU mesh wall-clock scaling is meaningless, so the byte model
+# is the honest scaling signal this environment can produce.)
+
+stats = {"exchanged_bytes": 0, "kernel_calls": 0}
+
+
+def reset_stats():
+    stats["exchanged_bytes"] = 0
+    stats["kernel_calls"] = 0
+
+
+def _counted(fn, est):
+    """Wrap a jitted dist kernel; `est(*args) -> bytes` runs on the
+    host at call time (static shapes make it exact per plan)."""
+    def run(*a):
+        stats["exchanged_bytes"] += int(est(*a))
+        stats["kernel_calls"] += 1
+        return fn(*a)
+    run.inner = fn    # for callers composing the kernel inside their
+    run.est = est     # own jit: call inner, account with est yourself
+    return run
+
+
 def make_mesh(n_devices=None, axis="d") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -90,7 +123,9 @@ def dist_groupby_sum(mesh: Mesh, n_codes: int):
             codes.shape[0])[0]
         return jax.lax.psum(part, axis)
 
-    return jax.jit(kernel)
+    n_dev = mesh.shape[axis]
+    return _counted(jax.jit(kernel),
+                    lambda *a: 2 * (n_dev - 1) * (n_codes + 1) * 4)
 
 
 def dist_groupby_count_first(mesh: Mesh, n_codes: int, shard_rows_n: int):
@@ -112,7 +147,10 @@ def dist_groupby_count_first(mesh: Mesh, n_codes: int, shard_rows_n: int):
                          bc["fidx"] + me.astype(jnp.int64) * shard_rows_n)
         return (jax.lax.psum(cnt, axis), jax.lax.pmin(fidx, axis))
 
-    return jax.jit(kernel)
+    n_dev = mesh.shape[axis]
+    return _counted(
+        jax.jit(kernel),
+        lambda *a: 2 * (n_dev - 1) * (n_codes + 1) * (4 + 8))
 
 
 # -- distributed shuffle (all_to_all by key hash) ----------------------------
@@ -165,7 +203,9 @@ def dist_shuffle(mesh: Mesh, capacity: int):
         valid = recv_k >= 0
         return recv_k, recv_v, valid, jnp.reshape(overflow, (1,))
 
-    return jax.jit(kernel)
+    return _counted(
+        jax.jit(kernel),
+        lambda *a: 2 * n_dev * (n_dev - 1) * capacity * 8)
 
 
 def dist_shuffle_auto(mesh: Mesh, start_capacity: int):
@@ -242,7 +282,10 @@ def dist_select_small(mesh: Mesh, n_codes: int, shard_rows_n: int,
             out[f"max{i}"] = jax.lax.pmax(bc[f"max{i}"], axis)
         return out
 
-    return jax.jit(kernel)
+    n_dev = mesh.shape[axis]
+    _R = (1 + n_int_tasks) * n_codes * 4 + 2 * n_codes * 8 + \
+        (n_sums + n_mins + n_maxs) * n_codes * 8
+    return _counted(jax.jit(kernel), lambda *a: 2 * (n_dev - 1) * _R)
 
 
 # -- end-to-end distributed aggregate query ----------------------------------
@@ -266,7 +309,10 @@ def dist_filter_group_sum(mesh: Mesh, n_codes: int):
             n_codes + 1, c.shape[0])
         return jax.lax.psum(s, axis), jax.lax.psum(cnt, axis)
 
-    return jax.jit(kernel)
+    n_dev = mesh.shape[axis]
+    return _counted(
+        jax.jit(kernel),
+        lambda *a: 2 * (n_dev - 1) * 2 * (n_codes + 1) * 4)
 
 
 # -- distributed wide group-by (partial-aggregate exchange) -------------------
@@ -298,7 +344,7 @@ _LANE_FILL = {"sum": np.float64(0.0), "min": np.float64(np.inf),
 
 
 def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int,
-                      lane_ops=("sum",)):
+                      lane_ops=("sum",), n_codes=None):
     """Build the jitted distributed group-by kernel with one f64 value
     lane per entry of `lane_ops` (each "sum" | "min" | "max" | "first"
     | "last" — the decomposable combiners of the reference's
@@ -316,11 +362,22 @@ def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int,
     (last, exact for any f64 value); the merge resolves first via its
     (code, first-row-id) sort and last via a second (code, -last-row-id)
     sort — the code sequence, hence the segment flags, are identical.
+
+    When `n_codes` (the dense code-space size) is known, capacities
+    tighten without losing the zero-drop guarantee: a shard emits at
+    most min(rows_local, n_codes) partials, and the partials one src
+    sends one dst are bounded by the codes that dst OWNS under mod
+    ownership — ceil(n_codes/n_dev) — so exchange/merge buffers shrink
+    from rows_local to ~n_codes/n_dev each (a 100x cut for card-10k
+    group-bys at 1M rows/chip: measured 14.6 s -> sub-second per eval
+    on the 8-device virtual mesh).
     """
     from ..engine import groupby as G
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
-    C = rows_local
+    C = rows_local if n_codes is None else min(rows_local, n_codes)
+    D = C if n_codes is None else \
+        max(min(C, -(-n_codes // n_dev)), 1)    # per-(src,dst) cap
     BIG = np.int32(1 << 30)
     n_lanes = len(lane_ops)
     scan_of = {"sum": G.seg_doubling_sum, "min": G.seg_doubling_min,
@@ -400,19 +457,21 @@ def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int,
                        np.int32(n_dev))
         order = jnp.argsort(dk, stable=True)
         dks = dk[order]
+        # per-(src,dst) capacity D cannot overflow: one src's partials
+        # to dst are distinct codes dst owns (<= ceil(n_codes/n_dev))
         live_s = dks < n_dev
         within = jnp.arange(C, dtype=jnp.int32) - jnp.searchsorted(
             dks, dks, side="left").astype(jnp.int32)
         # dead rows scatter out of bounds -> dropped
-        slot = jnp.where(live_s, dks * C + within,
-                         np.int32(n_dev) * C)
+        slot = jnp.where(live_s & (within < D), dks * D + within,
+                         np.int32(n_dev) * D)
 
         def exchange(lane, fill):
             ls = lane[order]
-            buf = jnp.full((n_dev * C,), fill, dtype=ls.dtype)
+            buf = jnp.full((n_dev * D,), fill, dtype=ls.dtype)
             buf = buf.at[slot].set(ls, mode="drop")
             return jax.lax.all_to_all(
-                buf.reshape(n_dev, C), axis, 0, 0,
+                buf.reshape(n_dev, D), axis, 0, 0,
                 tiled=False).reshape(-1)
 
         rcode = exchange(pcode, np.int64(-1))
@@ -424,7 +483,7 @@ def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int,
             else None
 
         # ---- stage C: merge received partials ------------------------
-        m = n_dev * C
+        m = n_dev * D
         mkey = jnp.where(rcode >= 0, rcode, jnp.int64(G.KEY_MAX))
         ms = jax.lax.sort([mkey, rfidx, rcnt] + rlanes, num_keys=2,
                           is_stable=False)
@@ -482,16 +541,25 @@ def dist_wide_groupby(mesh: Mesh, rows_local: int, out_cap: int,
                       jnp.reshape(ovf.astype(jnp.int64), (1,)),
                       of, ocnt, out[0]] + list(out[3:]))
 
-    return jax.jit(kernel)
+    _a2a = (3 + n_lanes + int(has_last)) * n_dev * (n_dev - 1) * D * 8
+    _ag = (3 + n_lanes) * n_dev * (n_dev - 1) * out_cap * 8
+    return _counted(jax.jit(kernel), lambda *a: _a2a + _ag)
 
 
 def dist_wide_groupby_auto(mesh: Mesh, rows_local: int,
-                           lane_ops=("sum",)):
+                           lane_ops=("sum",), n_codes=None):
     """Overflow-safe wrapper: run with balanced capacity + headroom,
     re-run with doubled merge capacity if any chip overflowed (the
     reference's retry analogue for its capacity-bounded radix buckets;
-    overflow requires extreme hash imbalance, so the retry is rare)."""
-    cap = max(2 * rows_local, 64)
+    overflow requires extreme hash imbalance, so the retry is rare).
+    With `n_codes` known the initial merge capacity is the exact
+    per-chip ownership bound ceil(n_codes/n_dev) — no overflow
+    possible, buffers ~n_codes/n_dev instead of rows_local."""
+    if n_codes is None:
+        cap = max(2 * rows_local, 64)
+    else:
+        n_dev = mesh.shape[mesh.axis_names[0]]
+        cap = max(min(2 * rows_local, -(-n_codes // n_dev)), 64)
     tried = {}
 
     def run(codes, *lanes):
@@ -499,7 +567,7 @@ def dist_wide_groupby_auto(mesh: Mesh, rows_local: int,
         while True:
             if c not in tried:
                 tried[c] = dist_wide_groupby(mesh, rows_local, c,
-                                             lane_ops)
+                                             lane_ops, n_codes)
             out = tried[c](codes, *lanes)
             if int(np.asarray(out[1])[0]) == 0:
                 # (ng, codes, counts, fidx, *lane_results)
@@ -765,7 +833,10 @@ def dist_med_groupby(mesh: Mesh, rows_local: int, cap: int,
                       jnp.reshape(ovf_out, (1,)),
                       out[1], out[0]] + list(out[2:]))
 
-    return jax.jit(kernel)
+    _a2a = (2 + n_lanes) * n_dev * (n_dev - 1) * cap * 8
+    _sel = n_lanes * 64 * 2 * (n_dev - 1) * K * 2 * 8   # rank psums
+    _ag = (2 + n_lanes) * n_dev * (n_dev - 1) * out_cap * 8
+    return _counted(jax.jit(kernel), lambda *a: _a2a + _sel + _ag)
 
 
 def dist_med_groupby_auto(mesh: Mesh, rows_local: int, n_lanes: int):
@@ -919,7 +990,10 @@ def dist_sort(mesh: Mesh, n_rows: int, key_dtypes, cap: int,
                                   is_stable=False)
         return (jnp.reshape(overflow, (1,)), order[:n_rows])
 
-    return jax.jit(kernel)
+    _smp = (nk + 1) * n_dev * (n_dev - 1) * S * 8
+    _a2a = (nk + 1) * n_dev * (n_dev - 1) * cap * 8
+    _ag = 2 * n_dev * (n_dev - 1) * m_recv * 8
+    return _counted(jax.jit(kernel), lambda *a: _smp + _a2a + _ag)
 
 
 def dist_sort_auto(mesh: Mesh, n_rows: int, key_dtypes):
@@ -969,7 +1043,10 @@ def dist_left_probe(mesh: Mesh):
         has = sk[ixc] == lkeys
         return jnp.where(has, sp[ixc], -1), has
 
-    return jax.jit(kernel)
+    n_dev = mesh.shape[axis]
+    # broadcast of the replicated right key column
+    return _counted(jax.jit(kernel),
+                    lambda lk, rk: (n_dev - 1) * rk.size * 8)
 
 
 def dist_eq_probe(mesh: Mesh, n_total_l: int, cap_l: int,
@@ -1059,7 +1136,9 @@ def dist_eq_probe(mesh: Mesh, n_total_l: int, cap_l: int,
         return (jnp.reshape(ovf_l, (1,)), jnp.reshape(ovf_r, (1,)),
                 srid[:n_total_l], shas[:n_total_l].astype(bool))
 
-    return jax.jit(kernel)
+    _a2a = 2 * n_dev * (n_dev - 1) * (cap_l + cap_r) * 8
+    _ag = n_dev * (n_dev - 1) * n_dev * cap_l * (8 + 8 + 1)
+    return _counted(jax.jit(kernel), lambda *a: _a2a + _ag)
 
 
 def dist_asof_probe(mesh: Mesh):
@@ -1130,4 +1209,7 @@ def dist_asof_probe(mesh: Mesh):
                         jnp.float64(np.nan))
         return val, hit
 
-    return jax.jit(kernel)
+    # each right row rides the full ring: n_dev ppermute steps x 16 B
+    return _counted(
+        jax.jit(kernel),
+        lambda lk, lts, rk, rts, rv: n_dev * rk.size * 16)

@@ -115,9 +115,12 @@ def test_fuzz_within_in():
         assert s_dev == s_host, q
 
 
-@pytest.mark.skipif(not os.environ.get("RAYFORCE_FUZZ_EXTENDED"),
-                    reason="extended sweep: RAYFORCE_FUZZ_EXTENDED=1")
-@pytest.mark.parametrize("seed", range(200, 240))
+# first 4 seeds run in the DEFAULT suite; the full 40-seed sweep stays
+# opt-in behind RAYFORCE_FUZZ_EXTENDED
+@pytest.mark.parametrize(
+    "seed",
+    range(200, 240) if os.environ.get("RAYFORCE_FUZZ_EXTENDED")
+    else range(200, 204))
 def test_fuzz_select_extended(seed):
     """40-seed deep sweep (the run that caught the empty-multi-key
     crash and the derived-min all-null divergence); opt-in so the

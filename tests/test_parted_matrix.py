@@ -141,6 +141,80 @@ def test_matrix_device_streaming(env, agg):
         dev.set_threshold(old_t)
 
 
+@pytest.fixture(scope="module")
+def env_nf(tmp_path_factory):
+    """Null-free parted DB: the gate for the avg/dev streaming
+    decomposition (grouped sum of a plain column propagates nulls, so
+    exact sum+count partials need stats-known null-free columns)."""
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    db = str(tmp_path_factory.mktemp("parted_nf") / "db")
+    rt = Runtime()
+    rng = np.random.default_rng(177)
+    for day in DAYS:
+        n = NP_PER
+        syms = [symbols.intern(s) for s in ["ibm", "aapl", "msft"]]
+        s = np.asarray([syms[j] for j in rng.integers(0, 3, n)],
+                       dtype=np.int64)
+        t = table(
+            vec_sym(["s", "i32", "i64", "f64", "u8"]),
+            [Obj(T.SYMBOL, s),
+             Obj(T.I32, rng.integers(-1000, 1000, n)
+                 .astype(np.int32)),
+             Obj(T.I64, rng.integers(-5000, 5000, n)
+                 .astype(np.int64)),
+             Obj(T.F64, rng.uniform(-50, 50, n)),
+             Obj(T.U8, rng.integers(0, 200, n).astype(np.uint8))])
+        P.set_parted(db, day, "q", t, interp=rt.interp)
+    pt = P.get_parted(db, "q", interp=rt.interp)
+    rt.interp.globals[symbols.intern("pt")] = pt
+    yield rt
+    shutil.rmtree(db, ignore_errors=True)
+
+
+@pytest.mark.parametrize("agg", ["avg", "dev"])
+def test_matrix_device_streaming_avg_dev(env_nf, agg):
+    """avg/dev stream as rewritten sum/count/sumsq partials over
+    null-free columns (ops/query.py _stream_device_select; the
+    reference's PARTED_MAP decomposition, core/aggr.c:183-260) — and
+    the probe asserts the streaming path actually engaged."""
+    rt = env_nf
+    old = Q.STREAM_PARTED
+    old_t = dev._cfg["threshold"]
+    Q.STREAM_PARTED = True
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    calls = []
+    orig = Q._stream_device_select
+
+    def probe(*a):
+        r = orig(*a)
+        calls.append(r is not None)
+        return r
+
+    Q._stream_device_select = probe
+    try:
+        for c in ["i64", "f64", "u8"]:
+            for by in [" by: s", " by: Date"]:
+                for wh in ["", " where: (> i32 0)"]:
+                    q = ("(select {o: (%s %s) m: (max %s) from: "
+                         "pt%s%s})" % (agg, c, c, by, wh))
+                    s_dev = fmt(rt.eval_str(q))
+                    dev.set_enabled(False)
+                    s_host = fmt(rt.eval_str(q))
+                    dev.set_enabled(True)
+                    assert s_dev == s_host, q
+        assert calls and all(calls), \
+            "streaming path fell back for some query"
+    finally:
+        Q._stream_device_select = orig
+        Q.STREAM_PARTED = old
+        dev.set_threshold(old_t)
+
+
 def test_virtual_date_is_constant(tmp_path):
     """A freshly loaded parted table's virtual Date column is a
     per-partition CONSTANT (value + rowcount), not a materialized
