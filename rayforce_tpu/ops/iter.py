@@ -220,13 +220,103 @@ def ray_scan_right(interp, f: Obj, seqs: list) -> Obj:
     return list_([_call(interp, f, [x, y])])
 
 
+def _pmap_procs(interp, f: Obj, seqs: list, n: int) -> Obj:
+    """Process-pool pmap for LAMBDA bodies: forked children inherit
+    the interpreter state (globals, env) for free — the reference's
+    per-executor VMs (iter.c:135-173) with OS processes standing in
+    for executors, so pure-interpreter work scales past the GIL.
+    Each child evaluates a contiguous chunk with the DEVICE ENGINE
+    DISABLED (children never touch JAX/XLA state across fork — host
+    kernels are the correctness path) and ships results back over a
+    pipe as serde frames. Any child failure raises and the caller
+    falls back to the thread pool."""
+    import os as _os
+    import struct
+    from ..storage import serde
+
+    wenv = _os.environ.get("RAYFORCE_PMAP_WORKERS")
+    workers = min(int(wenv) if wenv else (_os.cpu_count() or 1),
+                  8, n)
+    if workers < 2 or n < 8:
+        raise RuntimeError("not worth forking")
+    bounds = [(k * n) // workers for k in range(workers + 1)]
+    kids = []
+    for k in range(workers):
+        rfd, wfd = _os.pipe()
+        pid = _os.fork()
+        if pid == 0:
+            _os.close(rfd)
+            code = 1
+            try:
+                from ..engine import device as _dev
+                _dev.set_enabled(False)
+                wk = interp.fork()
+                frames = []
+                for i in range(bounds[k], bounds[k + 1]):
+                    args = [s if s.t < 0 else at_idx(s, i)
+                            for s in seqs]
+                    frames.append(serde.ser_payload(
+                        _call(wk, f, args)))
+                blob = b"".join(struct.pack("<Q", len(fr)) + fr
+                                for fr in frames)
+                hdr = struct.pack("<Q", len(blob))
+                for chunk in (hdr, blob):
+                    off = 0
+                    while off < len(chunk):
+                        off += _os.write(wfd, chunk[off:off + 65536])
+                code = 0
+            except BaseException:
+                code = 1
+            finally:
+                try:
+                    _os.close(wfd)
+                except OSError:
+                    pass
+                _os._exit(code)
+        _os.close(wfd)
+        kids.append((pid, rfd))
+
+    out: list = [None] * n
+    fail = False
+    try:
+        for k, (pid, rfd) in enumerate(kids):
+            data = bytearray()
+            while True:
+                b = _os.read(rfd, 1 << 20)
+                if not b:
+                    break
+                data += b
+            _os.close(rfd)
+            _pid, status = _os.waitpid(pid, 0)
+            if status != 0 or len(data) < 8:
+                fail = True
+                continue
+            total = struct.unpack("<Q", data[:8])[0]
+            if total != len(data) - 8:
+                fail = True
+                continue
+            off = 8
+            for i in range(bounds[k], bounds[k + 1]):
+                ln = struct.unpack("<Q", data[off:off + 8])[0]
+                off += 8
+                out[i] = serde.de_payload(bytes(data[off:off + ln]),
+                                          env=interp.env)
+                off += ln
+    except Exception:
+        fail = True
+    if fail:
+        raise RuntimeError("pmap process path failed")
+    return unify_list(out)
+
+
 def ray_pmap(interp, f: Obj, seqs: list) -> Obj:
     """Parallel map (reference iter.c:135-173 ray_pmap: each item runs
-    on an executor with its own VM). Here: the index space splits into
-    chunks, each evaluated on a thread with a FORKED interpreter (own
-    frame/qctx stacks, shared globals — the reference's executors
-    share the heap the same way); numpy/JAX kernels release the GIL,
-    which is where the actual parallelism lives."""
+    on an executor with its own VM). LAMBDA bodies take the PROCESS
+    pool (_pmap_procs: fork + serde pipes — pure-interpreter work
+    scales past the GIL like the reference's executors); builtins and
+    any process-path failure take chunked THREADS with forked
+    interpreters (own frame/qctx stacks, shared globals), where
+    numpy/JAX kernels release the GIL."""
     n = None
     for s in seqs:
         ln = _seq_len(s)
@@ -239,6 +329,11 @@ def ray_pmap(interp, f: Obj, seqs: list) -> Obj:
         return _call(interp, f, seqs)
     if n < 2:
         return ray_map(interp, f, seqs)
+    if f.t == T.LAMBDA and hasattr(__import__("os"), "fork"):
+        try:
+            return _pmap_procs(interp, f, seqs, n)
+        except Exception:
+            pass        # any process-path failure -> thread fallback
     import concurrent.futures as cf
     workers = min(8, n)
     bounds = [(k * n) // workers for k in range(workers + 1)]

@@ -178,3 +178,54 @@ def test_update_over_device_result():
         assert out == out2
     finally:
         dev.set_enabled(True)
+
+
+def test_pmap_process_pool_correctness(monkeypatch):
+    """LAMBDA pmap takes the fork+serde process pool (ops/iter.py
+    _pmap_procs — the reference's per-executor VMs, iter.c:135-173,
+    as OS processes). Forced to 4 workers regardless of core count:
+    results must be order-exact, globals visible in children, error
+    semantics preserved via the thread fallback, mixed result types
+    unified."""
+    import rayforce_tpu.ops.iter as it
+    monkeypatch.setenv("RAYFORCE_PMAP_WORKERS", "4")
+    calls = []
+    orig = it._pmap_procs
+
+    def probe(*a):
+        r = orig(*a)
+        calls.append(True)
+        return r
+
+    monkeypatch.setattr(it, "_pmap_procs", probe)
+    rt = _rt()
+    rt.eval_str("(set mult 3)")
+    assert fmt(rt.eval_str(
+        "(pmap (fn [x] (* x mult)) (til 40))")) == \
+        fmt(rt.eval_str("(map (fn [x] (* x mult)) (til 40))"))
+    assert calls, "process pool did not engage"
+    # lambda raising inside a child -> thread fallback raises properly
+    import pytest as _pytest
+    from rayforce_tpu.core.errors import RayError
+    with _pytest.raises(RayError):
+        rt.eval_str('(pmap (fn [x] (raise "boom")) (til 16))')
+
+
+def test_pmap_process_pool_speedup(monkeypatch):
+    """On 4+ real cores, pmap of a pure-interpreter lambda beats map
+    (the GIL-bound thread pool could not)."""
+    import os as _os
+    import time
+    if (_os.cpu_count() or 1) < 4:
+        import pytest as _pytest
+        _pytest.skip("needs 4+ cores")
+    rt = _rt()
+    body = "(fn [x] (fold + 0 (til 30000)))"
+    rt.eval_str(f"(set work {body})")
+    t0 = time.perf_counter()
+    rt.eval_str("(map work (til 32))")
+    t_map = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rt.eval_str("(pmap work (til 32))")
+    t_pmap = time.perf_counter() - t0
+    assert t_pmap < t_map * 0.7, (t_map, t_pmap)
