@@ -697,7 +697,12 @@ def warn_fallback(e):
               file=sys.stderr)
 
 
-def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
+def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim,
+                      empty_to_none=True):
+    """empty_to_none=False returns the string "empty" for an
+    all-filtered result instead of collapsing it to None — parted
+    streaming uses it to tell an EMPTY partition (skip it) from an
+    UNSUPPORTED shape (host fallback)."""
     if not dev.available() or not dev.should_use(len(src)):
         return None
     if not outs:
@@ -737,7 +742,8 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         last_profile.clear()
         last_profile.update({"engine": "dist-group",
                              "exec_ms": (_t.perf_counter() - t0) * 1e3})
-        return None if isinstance(r, str) else r
+        return (None if empty_to_none else r) \
+            if isinstance(r, str) else r
 
     from . import sortagg as _sa
     if isinstance(plan, _sa._SAPlan):
@@ -749,7 +755,8 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
                              "exec_ms": (_t.perf_counter() - t0) * 1e3,
                              "n_codes": plan.n_codes,
                              "exact": plan.exact})
-        return None if isinstance(r, str) else r
+        return (None if empty_to_none else r) \
+            if isinstance(r, str) else r
 
     from . import wide as _wd
     if isinstance(plan, _wd._WPlan):
@@ -759,7 +766,8 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         last_profile.clear()
         last_profile.update({"engine": "wide",
                              "exec_ms": (_t.perf_counter() - t0) * 1e3})
-        return None if isinstance(r, str) else r
+        return (None if empty_to_none else r) \
+            if isinstance(r, str) else r
 
     import time as _t
     t0 = _t.perf_counter()
@@ -791,7 +799,7 @@ def try_select_device(interp, src: Obj, outs, where_ast, by_ast, lim):
         # every row filtered out: the host path carries the empty/
         # no-by result semantics (a no-by select still yields ONE row
         # of whole-vector-over-empty aggregates, e.g. avg -> 0Nf)
-        return None
+        return None if empty_to_none else "empty"
     slots = lanes["slots"][:k].astype(np.int64)
 
     out_names: list[int] = []

@@ -271,7 +271,8 @@ def _stream_device_select(interp, src, outs, where_ast, by_ast):
 
     def one(i):
         return try_select_device(interp, sub_table(i), part_outs,
-                                 where_ast, by_ast, None)
+                                 where_ast, by_ast, None,
+                                 empty_to_none=False)
 
     if nparts > 1:
         # dispatch partitions concurrently: device queues pipeline
@@ -284,8 +285,14 @@ def _stream_device_select(interp, src, outs, where_ast, by_ast):
     else:
         partials = [one(0)]
     if any(r is None for r in partials):
-        # unsupported shape (or an all-filtered partition, which
-        # is indistinguishable here) -> be conservative, host path
+        # unsupported shape -> be conservative, host path
+        return None
+    # "empty" = every row of that partition filtered out: it simply
+    # contributes nothing (the reference's PARTED_MAP skips empty
+    # chunks); all-empty falls to the host for the empty-result
+    # semantics
+    partials = [r for r in partials if not isinstance(r, str)]
+    if not partials:
         return None
 
     # stack partial tables (host, small) and combine

@@ -154,20 +154,21 @@ def env_nf(tmp_path_factory):
     db = str(tmp_path_factory.mktemp("parted_nf") / "db")
     rt = Runtime()
     rng = np.random.default_rng(177)
-    for day in DAYS:
+    for pi, day in enumerate(DAYS):
         n = NP_PER
         syms = [symbols.intern(s) for s in ["ibm", "aapl", "msft"]]
         s = np.asarray([syms[j] for j in rng.integers(0, 3, n)],
                        dtype=np.int64)
         t = table(
-            vec_sym(["s", "i32", "i64", "f64", "u8"]),
+            vec_sym(["s", "i32", "i64", "f64", "u8", "pno"]),
             [Obj(T.SYMBOL, s),
              Obj(T.I32, rng.integers(-1000, 1000, n)
                  .astype(np.int32)),
              Obj(T.I64, rng.integers(-5000, 5000, n)
                  .astype(np.int64)),
              Obj(T.F64, rng.uniform(-50, 50, n)),
-             Obj(T.U8, rng.integers(0, 200, n).astype(np.uint8))])
+             Obj(T.U8, rng.integers(0, 200, n).astype(np.uint8)),
+             Obj(T.I64, np.full(n, pi, dtype=np.int64))])
         P.set_parted(db, day, "q", t, interp=rt.interp)
     pt = P.get_parted(db, "q", interp=rt.interp)
     rt.interp.globals[symbols.intern("pt")] = pt
@@ -247,3 +248,42 @@ def test_int_partitions_virtual_id(tmp_path):
     r = rt.eval_str("(select {c: (count i64) from: ipt by: Id})")
     out = fmt(r)
     assert "40" in out and out.count("40") >= 3
+
+
+def test_streaming_skips_all_filtered_partitions(env_nf):
+    """A partition whose rows are ALL filtered out contributes an
+    empty partial instead of forcing the whole query to the host
+    (ops/query.py: try_select_device(empty_to_none=False) tells an
+    empty partition apart from an unsupported shape — the reference's
+    PARTED_MAP skips empty chunks, core/aggr.c:183-260)."""
+    rt = env_nf
+    old = Q.STREAM_PARTED
+    old_t = dev._cfg["threshold"]
+    Q.STREAM_PARTED = True
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    calls = []
+    orig = Q._stream_device_select
+
+    def probe(*a):
+        r = orig(*a)
+        calls.append(r is not None)
+        return r
+
+    Q._stream_device_select = probe
+    try:
+        # pno is a per-partition constant: this keeps partitions
+        # 2..4 fully filtered while 0-1 survive
+        q = ("(select {s: (sum i64) a: (avg f64) from: pt by: s "
+             "where: (< pno 2)})")
+        s_dev = fmt(rt.eval_str(q))
+        dev.set_enabled(False)
+        s_host = fmt(rt.eval_str(q))
+        dev.set_enabled(True)
+        assert s_dev == s_host
+        assert calls == [True], \
+            "all-filtered partitions forced a host fallback"
+    finally:
+        Q._stream_device_select = orig
+        Q.STREAM_PARTED = old
+        dev.set_threshold(old_t)
