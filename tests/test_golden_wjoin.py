@@ -1,0 +1,20 @@
+"""Window-join boundary-row + asof tie-rule goldens, recorded from the
+reference binary (round-2 verdict: keep feeding the oracle corpus with
+new surface).
+
+Covered: the window-join min/max last-right-row boundary case (the host
+bug fixed alongside the distributed wjoin work) and the asof-join
+tie rules (duplicate right timestamps -> LAST matching row wins, per
+key group; reference core/index.c:3194-3266 binary "last-<=" probe).
+
+NOT covered here, deliberately: window-join med/dev goldens. The
+reference binary returns typed nulls for `(med p)` / `(dev p)` inside
+window-join aggregate dicts (probed live this round: its WINDOW-index
+med/dev path yields null/NA on every shape we fed it), so its output
+is not a usable oracle for those aggregates. Our med/dev/collect
+window semantics are pinned by handwritten asserts + the window fuzzer
+in tests/test_wjoin.py instead.
+"""
+from golden_util import golden_suite
+
+test_wjoin_meddev = golden_suite("wjoin_meddev.json")
