@@ -171,19 +171,41 @@ def dev_col(col: Obj):
     return arr
 
 
+# decimal fixed-point scales probed by the column-stats kernel: an f64
+# column whose finite values all sit on one of these grids (and fit
+# i32 when scaled) can ride group-by sorts as an EXACT i32 operand —
+# the sort-bytes reduction the round-2 roofline note asked for. The
+# tolerance absorbs this stack's emulated-f64 (f32-pair, ~2^-48)
+# multiply error; accepted off-grid error is <= tol/scale per element,
+# orders below the engine's existing f64 accumulation budget.
+QSCALES = (1.0, 1e2, 1e4, 1e6)
+
+
 @jax.jit
 def _k_minmax_all(cols):
-    """Per column: (min, max, has_null) skipping nulls/NaNs. has_null
-    lets query plans drop per-group null-count matmul tasks (each one
-    costs ~n_cells * rows MXU work)."""
+    """Per column: (min, max, has_null, qscale) skipping nulls/NaNs.
+    has_null lets query plans drop per-group null-count work; qscale
+    (f64 cols only; 0 = none) is the smallest decimal grid the values
+    provably sit on, enabling i32 sort operands."""
     outs = []
     for a in cols:
         if a.dtype == jnp.float64:
             nulls = jnp.isnan(a)
             lo = jnp.where(nulls, jnp.float64(np.inf), a).min()
             hi = jnp.where(nulls, jnp.float64(-np.inf), a).max()
-            outs.append(jnp.stack([lo, hi,
-                                   nulls.any().astype(jnp.float64)]))
+            qscale = jnp.float64(0.0)
+            for s in reversed(QSCALES):
+                vs = a * jnp.float64(s)
+                rv = jnp.round(vs)
+                err = jnp.abs(vs - rv)
+                tol = 1e-7 + jnp.abs(vs) * 1e-13
+                ok = jnp.where(
+                    nulls, True,
+                    (err <= tol) & (jnp.abs(rv) <= (1 << 31) - 2)
+                ).all()
+                qscale = jnp.where(ok, jnp.float64(s), qscale)
+            outs.append(jnp.stack(
+                [lo, hi, nulls.any().astype(jnp.float64), qscale]))
             continue
         nv = None
         if a.dtype == jnp.int64:
@@ -204,7 +226,7 @@ def _k_minmax_all(cols):
             lo = x.min()
             hi = x.max()
             anyn = jnp.int64(0)
-        outs.append(jnp.stack([lo, hi, anyn]))
+        outs.append(jnp.stack([lo, hi, anyn, jnp.int64(0)]))
     return outs
 
 
@@ -231,6 +253,7 @@ def put_table(tbl: Obj) -> None:
 def _cache_stats(c, lh):
     if c.t == T.F64:
         c.meta["range"] = (float(lh[0]), float(lh[1]))
+        c.meta["qscale"] = float(lh[3]) or None
     else:
         c.meta["range"] = (int(lh[0]), int(lh[1]))
     c.meta["has_null"] = bool(lh[2])
@@ -254,3 +277,14 @@ def column_range(col: Obj):
 def column_has_null(col: Obj) -> bool:
     _ensure_stats(col)
     return col.meta["has_null"]
+
+
+def column_qscale(col: Obj):
+    """Decimal fixed-point scale S (1/100/1e4/1e6) such that every
+    finite value of this F64 column is (within the stats kernel's
+    tolerance) an integer multiple of 1/S with |v*S| < 2^31 — or None.
+    Lets sort engines ride the column as an exact i32 operand."""
+    if col.t != T.F64:
+        return None
+    _ensure_stats(col)
+    return col.meta.get("qscale")

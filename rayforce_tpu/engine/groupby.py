@@ -173,7 +173,13 @@ def bcast_scan(codes, n: int, n_rows: int, sums=(), mins=(), maxs=(),
     the losing extreme). Returns dict of dense (n,) arrays."""
     cc = pad_chunks(codes, n_rows, jnp.int32(n))  # pad rows -> trash n
     iot_n = jnp.arange(n, dtype=jnp.int32)
-    iot_l = jnp.arange(L_CHUNK, dtype=jnp.int64)
+    # positions in i32 when they fit (always, given the engines' row
+    # caps): the (L, n) position lattice is the scan's widest
+    # intermediate and i64 math is emulated as i32 pairs here
+    pos32 = n_rows < (1 << 31)
+    pdt = jnp.int32 if pos32 else jnp.int64
+    P_MAX = (1 << 31) - 1 if pos32 else KEY_MAX
+    iot_l = jnp.arange(L_CHUNK, dtype=pdt)
     s_in = [pad_chunks(s, n_rows, jnp.float64(0)) for s in sums]
 
     def _lims(arr, is_min):
@@ -196,13 +202,13 @@ def bcast_scan(codes, n: int, n_rows: int, sums=(), mins=(), maxs=(),
                 0, dtype=jnp.int32)
         if want_fidx:
             pos = jnp.where(m, (carry["base"] + iot_l)[:, None],
-                            jnp.int64(KEY_MAX))
+                            pdt(P_MAX))
             out["fidx"] = jnp.minimum(carry["fidx"], pos.min(0))
             out["lidx"] = jnp.maximum(
                 carry["lidx"],
                 jnp.where(m, (carry["base"] + iot_l)[:, None],
-                          jnp.int64(-1)).max(0))
-            out["base"] = carry["base"] + L_CHUNK
+                          pdt(-1)).max(0))
+            out["base"] = carry["base"] + pdt(L_CHUNK)
         for i in range(len(s_in)):
             v = rest[k]; k += 1
             out[f"sum{i}"] = carry[f"sum{i}"] + jnp.where(
@@ -223,9 +229,9 @@ def bcast_scan(codes, n: int, n_rows: int, sums=(), mins=(), maxs=(),
     if want_counts:
         carry["counts"] = jnp.zeros(n, jnp.int32)
     if want_fidx:
-        carry["fidx"] = jnp.full(n, KEY_MAX, jnp.int64)
-        carry["lidx"] = jnp.full(n, -1, jnp.int64)
-        carry["base"] = jnp.int64(0)
+        carry["fidx"] = jnp.full(n, P_MAX, pdt)
+        carry["lidx"] = jnp.full(n, -1, pdt)
+        carry["base"] = pdt(0)
     for i in range(len(s_in)):
         carry[f"sum{i}"] = jnp.zeros(n, jnp.float64)
     for i, src in enumerate(mn_in):
@@ -234,6 +240,12 @@ def bcast_scan(codes, n: int, n_rows: int, sums=(), mins=(), maxs=(),
         carry[f"max{i}"] = jnp.full(n, _lims(src, False), src.dtype)
     carry, _ = jax.lax.scan(step, carry, (cc, *s_in, *mn_in, *mx_in))
     carry.pop("base", None)
+    if want_fidx and pos32:
+        # callers expect i64 positions with the i64 KEY_MAX sentinel
+        carry["fidx"] = jnp.where(carry["fidx"] == P_MAX,
+                                  jnp.int64(KEY_MAX),
+                                  carry["fidx"].astype(jnp.int64))
+        carry["lidx"] = carry["lidx"].astype(jnp.int64)
     return carry
 
 
@@ -247,6 +259,13 @@ def _identity_for(vals, op):
         return {"min": jnp.float64(np.inf),
                 "max": jnp.float64(-np.inf),
                 "sum": jnp.float64(0.0)}[op]
+    if vals.dtype == jnp.int32:
+        # i32 lanes halve the scan's memory traffic AND skip the
+        # emulated-i64 (i32-pair) arithmetic; callers must prove the
+        # values/sums fit (e.g. packed-field group sums < 2^31)
+        return {"min": jnp.int32(0x7FFFFFFF),
+                "max": jnp.int32(-0x80000000),
+                "sum": jnp.int32(0)}[op]
     return {"min": jnp.int64(KEY_MAX), "max": jnp.int64(I64_MIN),
             "sum": jnp.int64(0)}[op]
 

@@ -284,20 +284,31 @@ def _build_plan(src, outs, where_ast, by_ast):
         except Exception:
             return True
 
+    need_isumb = {}        # cid -> (lo, hi): exact f64 bcast-lane sums
     for a in aggs:
         cid = id(a.inner)
         if a.name in ("sum", "avg"):
             if may_null(a):
                 need_nullcnt.add(cid)   # eff count for bias/avg
             if a.inner.rtype in INT_LIKE:
+                rng_ = (None, None)
                 if a.meta["plain_col"]:
                     try:
-                        need_limbs[cid] = dev.column_range(
-                            a.inner.cols[0].col)
+                        rng_ = dev.column_range(a.inner.cols[0].col)
                     except Exception:
-                        need_limbs[cid] = (None, None)
+                        pass
+                lo_, hi_ = rng_
+                if small and lo_ is not None and hi_ >= lo_ and \
+                        max(abs(lo_), abs(hi_)) * n_rows < F64_EXACT:
+                    # stats-bounded int sum: rides the bcast scan as
+                    # an exact f64 lane (integers < 2^53) — no one-hot
+                    # matmul task, no limb decomposition. With every
+                    # int sum bounded, the small path drops the matmul
+                    # scan entirely (the q1/q4 engine-time halving the
+                    # round-2 roofline asked for).
+                    need_isumb[cid] = rng_
                 else:
-                    need_limbs[cid] = (None, None)
+                    need_limbs[cid] = rng_
             else:
                 # f64 sums via the exact bcast-scan accumulator (this
                 # path only runs for n_codes <= SMALL_N since
@@ -397,11 +408,15 @@ def _build_plan(src, outs, where_ast, by_ast):
                     agg_maps[cid])))
                 rtypes[cid] = a.inner.rtype
 
-        # ---- matmul tasks: counts + null counts + integer limb sums ----
-        tasks = [("counts", jnp.ones(rows_local, jnp.float32))]
-        for cid in sorted(need_nullcnt):
-            nm = _null_mask(arrs[cid], rtypes[cid])
-            tasks.append((f"nullcnt{cid}", nm.astype(jnp.float32)))
+        # ---- matmul tasks: integer limb sums only; counts/nullcnt
+        # ride the bcast scan in the small path so q1/q4-shaped
+        # queries skip the one-hot matmul scan entirely ----
+        tasks = []
+        if not small:
+            tasks.append(("counts", jnp.ones(rows_local, jnp.float32)))
+            for cid in sorted(need_nullcnt):
+                nm = _null_mask(arrs[cid], rtypes[cid])
+                tasks.append((f"nullcnt{cid}", nm.astype(jnp.float32)))
         for cid in sorted(need_limbs):
             lo, hi = need_limbs[cid]
             nv = T.NULL_BY_TYPE.get(rtypes[cid])
@@ -409,16 +424,30 @@ def _build_plan(src, outs, where_ast, by_ast):
             for i, lb in enumerate(limbs):
                 tasks.append((f"limb{cid}_{i}", lb))
 
-        dense = G.matmul_tasks_scan(codes, [w for _, w in tasks],
-                                    NC + 1, rows_local)
-        mm = {nm: _psum(d[:NC]) for (nm, _), d in zip(tasks, dense)}
-        counts = mm["counts"]                       # f64, exact ints
+        mm = {}
+        if tasks:
+            dense = G.matmul_tasks_scan(codes, [w for _, w in tasks],
+                                        NC + 1, rows_local)
+            mm = {nm: _psum(d[:NC])
+                  for (nm, _), d in zip(tasks, dense)}
 
         agg_raw = {}   # lane name -> dense device array (pre-order)
         if small:
             sums, s_names = [], []
             mins, mn_names = [], []
             maxs, mx_names = [], []
+            for cid in sorted(need_nullcnt):
+                nm = _null_mask(arrs[cid], rtypes[cid])
+                sums.append(nm.astype(jnp.float64))
+                s_names.append(f"nullcnt{cid}")
+            for cid in sorted(need_isumb):
+                arr = arrs[cid]
+                nv = T.NULL_BY_TYPE.get(rtypes[cid])
+                z = arr.astype(jnp.int64)
+                if nv is not None:
+                    z = jnp.where(arr == nv, 0, z)
+                sums.append(z.astype(jnp.float64))   # exact < 2^53
+                s_names.append(f"isum{cid}")
             for cid in sorted(need_fsum):
                 arr = arrs[cid]
                 sums.append(jnp.where(jnp.isnan(arr), 0.0, arr))
@@ -433,7 +462,8 @@ def _build_plan(src, outs, where_ast, by_ast):
                 mx_names.append(f"max{cid}")
             bc = G.bcast_scan(codes, NC, rows_local, sums=tuple(sums),
                               mins=tuple(mins), maxs=tuple(maxs),
-                              want_counts=False, want_fidx=True)
+                              want_counts=True, want_fidx=True)
+            counts = _psum(bc["counts"]).astype(jnp.float64)
             fidx = bc["fidx"]                # KEY_MAX for empty groups
             lidx = bc["lidx"]
             if spmd:
@@ -445,12 +475,16 @@ def _build_plan(src, outs, where_ast, by_ast):
                 lidx = _pmax(jnp.where(lidx < 0, jnp.int64(-1),
                                        lidx + off))
             for i, nm in enumerate(s_names):
-                agg_raw[nm] = _psum(bc[f"sum{i}"])
+                if nm.startswith("nullcnt"):
+                    mm[nm] = _psum(bc[f"sum{i}"])
+                else:
+                    agg_raw[nm] = _psum(bc[f"sum{i}"])
             for i, nm in enumerate(mn_names):
                 agg_raw[nm] = _pmin(bc[f"min{i}"])
             for i, nm in enumerate(mx_names):
                 agg_raw[nm] = _pmax(bc[f"max{i}"])
         else:
+            counts = mm["counts"]                   # f64, exact ints
             # ---- ONE stable sort covers order, extrema, f64 sums ----
             payloads, p_specs = [], []
             for cid in sorted(need_fsum):
@@ -602,13 +636,21 @@ def _build_plan(src, outs, where_ast, by_ast):
                                   jnp.float64(np.nan), s)
                 P.add(lane, s)
             else:               # integer sum / avg
-                n_limbs, bias, bound = limb_meta(cid, rt)
+                if cid in need_isumb:
+                    lo_, hi_ = need_isumb[cid]
+                    bound = max(abs(lo_), abs(hi_)) * n_rows
+                    n_limbs = 0
+                else:
+                    n_limbs, bias, bound = limb_meta(cid, rt)
                 if bound < F64_EXACT:
-                    tot = jnp.zeros(NC, jnp.float64)
-                    for i in range(n_limbs):
-                        tot = tot + mm[f"limb{cid}_{i}"] * float(
-                            1 << (G.LIMB_BITS * i))
-                    tot = tot[ordi] - eff(cid) * float(bias)
+                    if cid in need_isumb:
+                        tot = agg_raw[f"isum{cid}"][ordi]
+                    else:
+                        tot = jnp.zeros(NC, jnp.float64)
+                        for i in range(n_limbs):
+                            tot = tot + mm[f"limb{cid}_{i}"] * float(
+                                1 << (G.LIMB_BITS * i))
+                        tot = tot[ordi] - eff(cid) * float(bias)
                     if a.name == "avg":
                         e = eff(cid)
                         P.add(lane, jnp.where(
@@ -669,6 +711,9 @@ def _build_plan(src, outs, where_ast, by_ast):
     for a in aggs:
         cid = id(a.inner)
         if a.name in ("sum", "avg") and a.inner.rtype in INT_LIKE:
+            if cid in need_isumb:
+                a.meta["limb_fallback"] = False
+                continue
             n_limbs, bias, bound = limb_meta(cid, a.inner.rtype)
             a.meta["limb_fallback"] = bound >= F64_EXACT
             a.meta["n_limbs"] = n_limbs

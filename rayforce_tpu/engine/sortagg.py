@@ -66,6 +66,10 @@ from . import groupby as G
 HEAD_M = 1 << 21
 HEAD_FACTOR = 8
 
+# boundary-compaction strategy switch: searchsorted costs ~0.4 us per
+# probe (NCAP probes) vs a flat ~10 ms for the full-width i32 sort
+SEARCH_NCAP = 1 << 14
+
 _BIG = np.int32(1 << 30)
 
 SUM_OUT = {T.U8: T.I64, T.I16: T.I64, T.I32: T.I32, T.I64: T.I64}
@@ -162,7 +166,20 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
     budget = (62 - code_bits - pos_bits) if exact else (31 - code_bits)
     packed: dict = {}   # cid -> (shift, bits, lo)
     vb = 0
-    for cid in sorted(cinfo):
+    pack_order = sorted(cinfo)
+    # pack a min/max-bearing column LAST (= the TOP field, highest
+    # shift): within a group the sorted key's first/last rows then
+    # carry that field's exact min/max for free (skey[bpos]/skey[ea]),
+    # eliminating its segmented scans. Only valid in head mode — the
+    # exact plan interleaves position bits above the values.
+    mm_cands = [c for c in pack_order
+                if cinfo[c]["ops"] & {"min", "max"}]
+    if mm_cands and not exact:
+        best = max(mm_cands,
+                   key=lambda c: len(cinfo[c]["ops"] & {"min", "max"}))
+        pack_order.remove(best)
+        pack_order.append(best)
+    for cid in pack_order:
         ci = cinfo[cid]
         if not (ci["ops"] - {"null", "med"}):
             continue   # nothing rides the main sort for this column
@@ -180,6 +197,12 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
         if vb + bits <= budget:
             packed[cid] = (vb, bits, int(lo))
             vb += bits
+    # the free-boundary-extremes cid: packed, top field, min/max ops
+    top_cid = None
+    if packed and not exact:
+        tc = max(packed, key=lambda c: packed[c][0])
+        if cinfo[tc]["ops"] & {"min", "max"}:
+            top_cid = tc
 
     # --- operand layout (static) ----------------------------------------
     operands: list = []   # (cid, kind) kind in i32/i64/f64
@@ -194,6 +217,17 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
         rt = ci["rtype"]
         if rt == T.F64:
             kind = "f64"
+            if ci["plain"]:
+                # decimal fixed-point columns (cached qscale stat)
+                # ride the sort as EXACT i32 operands — ~half the
+                # sorted bytes of an (emulated) f64 operand; decoded
+                # back to f64 (nulls -> NaN) right after the sort
+                try:
+                    qs = dev.column_qscale(ci["agg"].cols[0].col)
+                except Exception:
+                    qs = None
+                if qs:
+                    kind = ("q32", float(qs))
         elif rt in NARROW32:
             kind = "i32"
         else:
@@ -253,6 +287,11 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
             a = arrs[cid]
             if kind == "f64":
                 ops_in.append(a.astype(jnp.float64))
+            elif isinstance(kind, tuple):     # ("q32", scale)
+                rq = jnp.round(a * jnp.float64(kind[1]))
+                ops_in.append(jnp.where(
+                    jnp.isnan(a), jnp.int32(np.int32(T.NULL_I32)),
+                    rq.astype(jnp.int32)))
             elif kind == "i32":
                 ops_in.append(a.astype(jnp.int32))
             else:
@@ -270,11 +309,22 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
         ng = flags.sum().astype(jnp.int32)
         nvalid = valid.sum().astype(jnp.int32)
 
-        # ---- boundary compaction (i32 sort) ------------------------------
-        iota = jnp.arange(n_rows, dtype=jnp.int32)
-        ck_ = jnp.where(flags, iota, iota + _BIG)
-        bpos_all = jax.lax.sort([ck_], num_keys=1, is_stable=False)[0]
-        bpos = bpos_all[:NCAP] & (_BIG - 1)
+        # ---- boundary compaction ------------------------------------
+        if NCAP <= SEARCH_NCAP:
+            # few groups: j-th boundary = first position where the
+            # flag prefix-count reaches j+1. cumsum (~0-2 ms) + one
+            # searchsorted (~0.4 us/probe) beats the ~10 ms full-width
+            # i32 sort up to ~16k probes.
+            cum = jnp.cumsum(flags.astype(jnp.int32))
+            bpos = jnp.searchsorted(
+                cum, jnp.arange(1, NCAP + 1, dtype=jnp.int32),
+                side="left").astype(jnp.int32)
+        else:
+            iota = jnp.arange(n_rows, dtype=jnp.int32)
+            ck_ = jnp.where(flags, iota, iota + _BIG)
+            bpos_all = jax.lax.sort([ck_], num_keys=1,
+                                    is_stable=False)[0]
+            bpos = bpos_all[:NCAP] & (_BIG - 1)
         bposc = jnp.clip(bpos, 0, n_rows - 1)
         jar = jnp.arange(NCAP, dtype=jnp.int32)
         occ = jar < ng
@@ -324,13 +374,26 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
         for cid, ci in cinfo.items():
             ops = ci["ops"]
             rt = ci["rtype"]
+            raw = None
+            free_mm = False
+            p32 = False
             if cid in packed:
                 sh, bits, lo = packed[cid]
-                v = ((skey >> sh) & key_dt((1 << bits) - 1)).astype(
-                    jnp.int64) + np.int64(lo)
+                span = (1 << bits) - 1
+                raw = (skey >> key_dt(sh)) & key_dt(span)  # biased >=0
+                v = raw.astype(jnp.int64) + np.int64(lo)
                 nul = None
+                free_mm = cid == top_cid
+                p32 = span * n_rows < (1 << 31)
             elif cid in op_ix:
                 v = sops[op_ix[cid]]
+                kind = operands[op_ix[cid]][1]
+                if isinstance(kind, tuple):
+                    # quantized i32 operand -> back to f64 values with
+                    # NaN nulls; all F64 semantics below apply as-is
+                    v = jnp.where(v == np.int32(T.NULL_I32),
+                                  jnp.float64(np.nan),
+                                  v.astype(jnp.float64) / kind[1])
                 if rt == T.F64:
                     nul = jnp.isnan(v)
                 else:
@@ -344,11 +407,21 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
                 nullcnt[cid] = G.seg_doubling_sum(
                     sc, nul.astype(jnp.int64))[ea]
             if "sum" in ops and ("sum", cid) not in segres:
-                if rt == T.F64:
+                if raw is not None and p32:
+                    # packed null-free field: biased i32 scan (group
+                    # sums provably < 2^31), un-bias at the boundary
+                    bs = G.seg_doubling_sum(
+                        sc, raw.astype(jnp.int32))[ea]
+                    segres[("sum", cid)] = bs.astype(jnp.int64) + \
+                        np.int64(lo) * counts
+                elif rt == T.F64:
                     z = jnp.where(jnp.isnan(v), 0.0, v)
+                    segres[("sum", cid)] = G.seg_doubling_sum(
+                        sc, z)[ea]
                 else:
                     z = jnp.where(nul, 0, v) if nul is not None else v
-                segres[("sum", cid)] = G.seg_doubling_sum(sc, z)[ea]
+                    segres[("sum", cid)] = G.seg_doubling_sum(
+                        sc, z)[ea]
             if "dev" in ops:
                 # std via segment-min-shifted moments: var =
                 # E[(x-c)^2] - E[x-c]^2 with c = per-segment min
@@ -370,36 +443,75 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
                 segres[("dev2", cid)] = G.seg_doubling_sum(
                     sc, d * d)[ea]
             if "min" in ops:
-                if rt == T.F64:
-                    mv = jnp.where(jnp.isnan(v), jnp.float64(np.inf),
-                                   v)
+                if free_mm:
+                    # top packed field: the group's first sorted row
+                    # carries its exact min (code equal within the
+                    # segment, this field is the highest value bits)
+                    segres[("min", cid)] = (
+                        (skey[bposc] >> key_dt(sh)) & key_dt(span)
+                    ).astype(jnp.int64) + np.int64(lo)
+                elif raw is not None and span < (1 << 31):
+                    segres[("min", cid)] = G.seg_doubling_min(
+                        sc, raw.astype(jnp.int32))[ea].astype(
+                        jnp.int64) + np.int64(lo)
                 else:
-                    mv = jnp.where(nul, jnp.int64(G.KEY_MAX), v) \
-                        if nul is not None else v
-                segres[("min", cid)] = G.seg_doubling_min(sc, mv)[ea]
+                    if rt == T.F64:
+                        mv = jnp.where(jnp.isnan(v),
+                                       jnp.float64(np.inf), v)
+                    else:
+                        mv = jnp.where(nul, jnp.int64(G.KEY_MAX), v) \
+                            if nul is not None else v
+                    segres[("min", cid)] = G.seg_doubling_min(
+                        sc, mv)[ea]
             if "max" in ops:
-                if rt == T.F64:
-                    mv = jnp.where(jnp.isnan(v),
-                                   jnp.float64(-np.inf), v)
+                if free_mm:
+                    segres[("max", cid)] = (
+                        (skey[ea] >> key_dt(sh)) & key_dt(span)
+                    ).astype(jnp.int64) + np.int64(lo)
+                elif raw is not None and span < (1 << 31):
+                    segres[("max", cid)] = G.seg_doubling_max(
+                        sc, raw.astype(jnp.int32))[ea].astype(
+                        jnp.int64) + np.int64(lo)
                 else:
-                    mv = jnp.where(nul, jnp.int64(G.I64_MIN), v) \
-                        if nul is not None else v
-                segres[("max", cid)] = G.seg_doubling_max(sc, mv)[ea]
+                    if rt == T.F64:
+                        mv = jnp.where(jnp.isnan(v),
+                                       jnp.float64(-np.inf), v)
+                    else:
+                        mv = jnp.where(nul, jnp.int64(G.I64_MIN), v) \
+                            if nul is not None else v
+                    segres[("max", cid)] = G.seg_doubling_max(
+                        sc, mv)[ea]
 
         # ---- med: per-column (code, value) sorts reusing bpos ------------
-        medvals = {}
+        medvals = {}   # cid -> (sorted values, dequant scale or None)
         for cid in med_cids:
             rt = cinfo[cid]["rtype"]
             a = arrs[cid]
+            qs = None
             if rt == T.F64:
-                mkey = jnp.where(jnp.isnan(a), jnp.float64(np.inf), a)
+                if cinfo[cid]["plain"]:
+                    try:
+                        qs = dev.column_qscale(
+                            cinfo[cid]["agg"].cols[0].col)
+                    except Exception:
+                        qs = None
+                if qs:
+                    # i32 quantized med key: exact order, nulls last
+                    rq = jnp.round(a * jnp.float64(qs))
+                    mkey = jnp.where(jnp.isnan(a),
+                                     jnp.int32(0x7FFFFFFF),
+                                     rq.astype(jnp.int32))
+                else:
+                    mkey = jnp.where(jnp.isnan(a),
+                                     jnp.float64(np.inf), a)
             else:
                 nv = _dt_null(rt)
                 a64 = a.astype(jnp.int64)
                 mkey = jnp.where(a64 == np.int64(nv),
                                  jnp.int64(G.KEY_MAX), a64) \
                     if nv is not None else a64
-            medvals[cid] = jax.lax.sort([codes, mkey], num_keys=2)[1]
+            medvals[cid] = (jax.lax.sort([codes, mkey],
+                                         num_keys=2)[1], qs)
 
         # ---- first/last row ids ------------------------------------------
         straggler = jnp.int32(0)
@@ -537,9 +649,11 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, n_codes, aggs,
                 lo_i = jnp.clip(bpos_o + jnp.maximum(e - 1, 0) // 2,
                                 0, n_rows - 1)
                 hi_i = jnp.clip(bpos_o + e // 2, 0, n_rows - 1)
-                sv = medvals[cid]
+                sv, qs = medvals[cid]
                 mv = (sv[lo_i].astype(jnp.float64)
                       + sv[hi_i].astype(jnp.float64)) / 2.0
+                if qs:
+                    mv = mv / qs
                 emit(lane, jnp.where(e == 0, jnp.float64(np.nan), mv))
             elif a.name == "dev":
                 e = eff(cid).astype(jnp.float64)
