@@ -224,9 +224,19 @@ def _stream_device_select(interp, src, outs, where_ast, by_ast):
     names_o, cols = src.v
     nparts = len(cols[0].v)
 
+    # per-partition sub-tables are CACHED on the parted table: stable
+    # object ids let the device plan cache (and jit cache) hit on
+    # every later eval instead of rebuilding + recompiling per query
+    if not isinstance(src.meta, dict):
+        src.meta = {}
+    subs = src.meta.setdefault("_subtables", {})
+
     def sub_table(i):
-        pieces = [c.v[i] for c in cols]
-        return table(names_o, pieces)
+        t_ = subs.get(i)
+        if t_ is None:
+            t_ = table(names_o, [c.v[i] for c in cols])
+            subs[i] = t_
+        return t_
 
     s0 = sub_table(0)
     combos = []      # ("direct", op) | ("avg",) | ("dev",) per out
@@ -274,16 +284,26 @@ def _stream_device_select(interp, src, outs, where_ast, by_ast):
                                  where_ast, by_ast, None,
                                  empty_to_none=False)
 
-    if nparts > 1:
-        # dispatch partitions concurrently: device queues pipeline
-        # transfers/compute across partitions instead of a host sync
-        # between each (the reference's pool fans PARTED_MAP chunks,
-        # core/pool.c pool_map)
+    from ..engine.select import _fingerprint
+    qkey = (_fingerprint(where_ast) if where_ast is not None else "",
+            _fingerprint(by_ast) if by_ast is not None else "",
+            tuple((sid, _fingerprint(ast)) for sid, ast in part_outs))
+    warm = src.meta.setdefault("_stream_warm", set())
+    if nparts > 1 and qkey in warm:
+        # warm plans: dispatch partitions concurrently — the device
+        # queues transfers/compute across partitions instead of a host
+        # sync between each (the reference's pool fans PARTED_MAP
+        # chunks, core/pool.c pool_map)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(4, nparts)) as ex:
             partials = list(ex.map(one, range(nparts)))
     else:
-        partials = [one(0)]
+        # cold pass runs serially: concurrent first-call jit compiles
+        # from worker threads can crash the backend (observed CPU
+        # segfault in backend_compile); after this pass the cached
+        # sub-tables keep every per-partition plan warm
+        partials = [one(i) for i in range(nparts)]
+        warm.add(qkey)
     if any(r is None for r in partials):
         # unsupported shape -> be conservative, host path
         return None
