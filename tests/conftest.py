@@ -2,6 +2,7 @@
 
 The axon sitecustomize pins JAX_PLATFORMS=axon at import, so the platform
 must be overridden through jax.config (env vars are ignored)."""
+import pytest
 
 
 def pytest_configure(config):
@@ -11,3 +12,19 @@ def pytest_configure(config):
         jax.config.update("jax_num_cpu_devices", 8)
     except Exception:
         pass
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules. Every jitted
+    plan pins mapped code pages for the life of the process; across
+    the full suite that exhausts vm.max_map_count (65530) and XLA
+    dies with MemoryError/segfaults mid-compile (reproduced: the map
+    count marches to ~65.4k right before the crash). Engine plan
+    caches are cleared too so no stale plan holds a dropped
+    executable."""
+    yield
+    import jax
+    from rayforce_tpu.engine import select as _sel
+    _sel._plan_cache.clear()
+    jax.clear_caches()
