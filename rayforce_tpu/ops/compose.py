@@ -192,6 +192,18 @@ def _elems(o: Obj):
 def ray_distinct(o: Obj) -> Obj:
     if o.t < 0:
         return o
+    if o.t in T.UNPARTED_OF:
+        # parted column: raze partitions first; parted ENUMs expand to
+        # plain symbols (the reference's MAPLIST/PARTED distinct
+        # expands mmap'd enums to values before distinct,
+        # compose.c:1036, unlike in-memory enums which re-enumerate)
+        from .parted import parted_raze
+        r = parted_raze(o)
+        if r.t == T.ENUM:
+            from ..core.obj import enum_domain
+            dom = to_np(enum_domain(r))
+            r = Obj(T.SYMBOL, dom[to_np(r)])
+        return ray_distinct(r)
     if o.t == T.LIST:
         seen = []
         from .cmp import obj_equal
@@ -217,6 +229,9 @@ def ray_group(o: Obj) -> Obj:
     """value -> indices dict, first-appearance order (compose.c:1071)."""
     if o.t < 0:
         raise err_type("group needs a vector")
+    if o.t in T.UNPARTED_OF:
+        from .parted import parted_raze
+        return ray_group(parted_raze(o))
     if o.t == T.LIST:
         # generic-object grouping (reference compose.c:1071 groups via
         # index_group over the list's row hashes): first-appearance
