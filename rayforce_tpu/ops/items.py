@@ -73,6 +73,11 @@ def ray_where(o: Obj) -> Obj:
 
 def ray_at(o: Obj, k: Obj) -> Obj:
     """Polymorphic indexing (items.c:74)."""
+    if k.t in T.UNPARTED_OF:
+        # a parted INDEX vector: raze it (the reference type-errors;
+        # indexing by the razed rows is the obvious superset)
+        from .parted import parted_raze
+        k = parted_raze(k)
     t = o.t
     if t == T.TABLE:
         if k.t == -T.SYMBOL:

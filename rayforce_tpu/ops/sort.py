@@ -20,6 +20,12 @@ def sort_key(col: Obj) -> np.ndarray:
     t = col.t
     if t == T.LIST:
         raise err_type("cannot sort list column")
+    if t in T.UNPARTED_OF:
+        # parted column: raze partitions before keying (the reference
+        # type-errors on sorting PARTED vectors; we order the razed
+        # rows instead — a strict superset)
+        from .parted import parted_raze
+        return sort_key(parted_raze(col))
     a = to_np(col)
     if t == T.F64:
         return np.where(np.isnan(a), -np.inf, a)
