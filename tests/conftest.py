@@ -12,6 +12,15 @@ def pytest_configure(config):
         jax.config.update("jax_num_cpu_devices", 8)
     except Exception:
         pass
+    try:
+        # the persistent compilation cache is shared with axon-relay
+        # runs whose XLA:CPU AOT artifacts carry relay-side machine
+        # features (prefer-no-scatter/gather) — loading them locally
+        # warns "could lead to SIGILL". CPU test compiles are cheap;
+        # keep tests off the shared cache entirely.
+        jax.config.update("jax_enable_compilation_cache", False)
+    except Exception:
+        pass
 
 
 @pytest.fixture(autouse=True, scope="module")
