@@ -150,6 +150,16 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, aggs):
         rt = ci["rtype"]
         if rt == T.F64:
             kind = "f64"
+            if ci["plain"]:
+                # decimal fixed-point column (qscale stat): exact i32
+                # sort operand, dequantized right after (sortagg has
+                # the same fast path; see engine/device.py)
+                try:
+                    qs = dev.column_qscale(ci["agg"].cols[0].col)
+                except Exception:
+                    qs = None
+                if qs:
+                    kind = ("q32", float(qs))
         elif rt in NARROW32:
             kind = "i32"
         else:
@@ -202,6 +212,11 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, aggs):
             a = arrs[cid]
             if kind == "f64":
                 ops_in.append(a.astype(jnp.float64))
+            elif isinstance(kind, tuple):     # ("q32", scale)
+                rq = jnp.round(a * jnp.float64(kind[1]))
+                ops_in.append(jnp.where(
+                    jnp.isnan(a), jnp.int32(np.int32(T.NULL_I32)),
+                    rq.astype(jnp.int32)))
             elif kind == "i32":
                 ops_in.append(a.astype(jnp.int32))
             else:
@@ -254,6 +269,12 @@ def build_plan(src, n_rows, cw, key_cs, key_meta, aggs):
                 continue
             rt = ci["rtype"]
             v = sops[op_ix[cid]]
+            kind = operands[op_ix[cid]][1]
+            if isinstance(kind, tuple):
+                # quantized i32 operand -> f64 values with NaN nulls
+                v = jnp.where(v == np.int32(T.NULL_I32),
+                              jnp.float64(np.nan),
+                              v.astype(jnp.float64) / kind[1])
             if rt == T.F64:
                 nul = jnp.isnan(v)
             else:

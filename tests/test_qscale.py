@@ -160,6 +160,28 @@ def test_small_path_bcast_int_sums():
                 "f: (first v3) from: t by: k where: (> v3 50.0)})")
 
 
+def test_quantized_operand_parity_wide():
+    """q7 shape: a high-cardinality multi-key group-by (wide engine)
+    summing a decimal f64 column with NaNs — rides the i32 quantized
+    operand through the multi-word key sort."""
+    rng = np.random.default_rng(7)
+    n = 30000
+    k1 = rng.integers(0, 2000, n).astype(np.int64)
+    k2 = rng.integers(0, 1000, n).astype(np.int64)
+    v = np.round(rng.uniform(0, 100, n), 6)
+    v[rng.integers(0, n, 100)] = np.nan
+    rt = Runtime()
+    _put(rt, "t", {"k1": k1, "k2": k2, "v": v})
+    sd = fmt(rt.eval_str("(select {s: (sum v) c: (count v) mn: (min v)"
+                         " from: t by: {k1: k1 k2: k2}})"))
+    assert sel.last_profile.get("engine") == "wide", sel.last_profile
+    dev.set_enabled(False)
+    sh = fmt(rt.eval_str("(select {s: (sum v) c: (count v) mn: (min v)"
+                         " from: t by: {k1: k1 k2: k2}})"))
+    dev.set_enabled(True)
+    assert sd == sh
+
+
 def test_small_path_spmd_bcast_sums():
     """The SPMD small path psum-combines the bcast lanes (counts,
     nullcnt, int sums) across the virtual mesh."""
