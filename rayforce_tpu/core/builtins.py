@@ -210,13 +210,33 @@ def build_env(interp_holder: dict) -> Env:
         return q.ray_update(ip, a)
 
     # ---- temporal now/cast --------------------------------------------
+    def _now_parts(o):
+        """(date/time/timestamp 'utc|'local) -> current wall-clock
+        broken down in that zone (reference timestamp_current,
+        core/timestamp.c:497-526: 'utc -> gmtime, else localtime)."""
+        from datetime import datetime, timezone, date as _d
+        nm = symbols.name_of(int(o.v))
+        dt = datetime.now(timezone.utc) if nm == "utc" \
+            else datetime.now()
+        days = (dt.date() - _d(2000, 1, 1)).days
+        ms = (dt.hour * 3600 + dt.minute * 60 + dt.second) * 1000 \
+            + dt.microsecond // 1000
+        ns = days * 86_400_000_000_000 \
+            + (dt.hour * 3600 + dt.minute * 60 + dt.second) \
+            * 1_000_000_000 + dt.microsecond * 1000
+        return days, ms, ns
+
     def fn_date(o):
         from .temporal import EPOCH_2000_DAYS
+        if o.t == -T.SYMBOL:
+            return mk_date(_now_parts(o)[0])
         if o.t == -T.NULL:
             return mk_date(int(_time.time() // 86400) - EPOCH_2000_DAYS)
         return cast.cast_obj(T.DATE, o)
 
     def fn_time(o):
+        if o.t == -T.SYMBOL:
+            return mk_time(_now_parts(o)[1])
         if o.t == -T.NULL:
             t = _time.time()
             return mk_time(int((t % 86400) * 1000))
@@ -224,6 +244,8 @@ def build_env(interp_holder: dict) -> Env:
 
     def fn_timestamp(o):
         from .temporal import EPOCH_2000_DAYS
+        if o.t == -T.SYMBOL:
+            return mk_ts(_now_parts(o)[2])
         if o.t == -T.NULL:
             return mk_ts(int((_time.time() - EPOCH_2000_DAYS * 86400)
                              * 1e9))
