@@ -31,9 +31,19 @@ jax.config.update("jax_enable_x64", True)
 # cost ~4-5 min each to compile); caching makes every later process
 # hit warm executables.
 try:
+    # Key the cache dir by the configured platform: the shared dir holds
+    # XLA:CPU AOT artifacts compiled relay-side with machine features the
+    # local host lacks (prefer-no-scatter/gather) — loading them in local
+    # CPU runs (driver dryrun, virtual-mesh benches) risks SIGILL. CPU
+    # runs therefore get their own cache. Read the config value without
+    # touching the backend (dryrun_multichip sets jax_platforms before
+    # importing this module).
+    _plats = str(getattr(jax.config, "jax_platforms", None)
+                 or os.environ.get("JAX_PLATFORMS") or "")
+    _suffix = "_cpu" if "cpu" in _plats else ""
     _cache_dir = os.environ.get(
         "RAYFORCE_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/rayforce_jax"))
+        os.path.expanduser("~/.cache/rayforce_jax" + _suffix))
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
