@@ -132,21 +132,31 @@ def grouped_aggregate(name: str, col: Obj, index) -> Obj:
     if name in ("med", "dev"):
         if t not in SUM_TYPE:
             raise err_type(f"{name} on non-numeric")
-        order, bounds = _sorted_layout(index)
-        vals = a.astype(np.float64)[order]
-        nn = nulls[order]
-        out = np.empty(n, dtype=np.float64)
-        for g in range(n):
-            seg = vals[bounds[g]:bounds[g + 1]]
-            segn = nn[bounds[g]:bounds[g + 1]]
-            good = seg[~segn]
-            if len(good) == 0:
-                out[g] = T.NULL_F64
-            elif name == "med":
-                out[g] = np.median(good)
-            else:
-                out[g] = good.std()
-        return Obj(T.F64, out)
+        vals = a.astype(np.float64)
+        good = ~nulls
+        cnt = np.bincount(gids, weights=good.astype(np.float64),
+                          minlength=n).astype(np.int64)
+        if name == "dev":
+            # exact two-pass moments, vectorized: per-group mean via
+            # bincount, then per-group sum of squared deviations
+            s = np.bincount(gids, weights=np.where(good, vals, 0.0),
+                            minlength=n)
+            safe = np.maximum(cnt, 1).astype(np.float64)
+            mean = s / safe
+            d = np.where(good, vals - mean[gids], 0.0)
+            ssd = np.bincount(gids, weights=d * d, minlength=n)
+            out = np.sqrt(ssd / safe)
+            return Obj(T.F64, np.where(cnt == 0, T.NULL_F64, out))
+        # med: one lexsort (gid, nulls-last, value) then select the two
+        # middle elements of each group's non-null prefix
+        order = np.lexsort((vals, nulls, gids))
+        sv = vals[order]
+        total = np.bincount(gids, minlength=n)
+        starts = np.concatenate([[0], np.cumsum(total)[:-1]])
+        lo = starts + np.maximum((cnt - 1) // 2, 0)
+        hi = starts + np.maximum(cnt // 2, 0)
+        out = 0.5 * (sv[lo] + sv[hi])
+        return Obj(T.F64, np.where(cnt == 0, T.NULL_F64, out))
 
     if name == "collect":
         return aggr_collect(col, index)
@@ -279,20 +289,73 @@ def window_aggregate(name: str, col: Obj, w: WindowIndex) -> Obj:
         out = np.where(ok & okm, red, np.int64(nullv))
         return Obj(t, out.astype(T.DTYPE[t]))
     if name in ("med", "dev"):
-        # per-window sorted selection / two-pass moments over the
-        # WINDOW ranges (reference aggr.c:2806 aggr_map_dev_window;
-        # med via aggr_collect + per-group selection, aggr.c:2233).
+        # vectorized selection / moments over the WINDOW ranges
+        # (reference aggr.c:2806 aggr_map_dev_window; med via
+        # aggr_collect + per-group selection, aggr.c:2233).
         # Nulls skip; empty (or all-null) windows yield 0Nf.
         if t not in SUM_TYPE:
             raise err_type(f"{name} on non-numeric")
         vals = a.astype(np.float64)
+        if name == "dev":
+            # shifted cumulative moments, mirroring the device kernel
+            # (engine/wjoin.py _k_dev) incl. its cancellation floor so
+            # host and device print identically
+            good = ~nulls
+            vz = np.where(nulls, 0.0, vals)
+            cnt_all = max(good.sum(), 1)
+            c0 = vz.sum() / cnt_all
+            x = np.where(nulls, 0.0, vals - c0)
+            z = np.zeros(1, dtype=np.float64)
+            cs = np.concatenate([z, np.cumsum(x)])
+            cs2 = np.concatenate([z, np.cumsum(x * x)])
+            cc = np.concatenate([z, np.cumsum(good.astype(np.float64))])
+            ric = np.clip(ri, -1, None) + 1
+            lic = np.clip(li, 0, None)
+            s = cs[ric] - cs[lic]
+            s2 = cs2[ric] - cs2[lic]
+            c = cc[ric] - cc[lic]
+            safe = np.where(c > 0, c, 1.0)
+            mean = s / safe
+            var = s2 / safe - mean * mean
+            floor = (x * x).sum() * np.float64(2.0 ** -48) / safe
+            var = np.where(var <= floor, 0.0, var)
+            out = np.where(ok & (c > 0),
+                           np.sqrt(np.maximum(var, 0.0)), T.NULL_F64)
+            return Obj(T.F64, out)
+        # med: chunked window expansion + one lexsort per chunk, then
+        # select the two middle non-null elements of each window
         out = np.full(len(li), T.NULL_F64, dtype=np.float64)
-        for i in np.flatnonzero(ok):
-            seg = vals[li[i]:ri[i] + 1]
-            good = seg[~nulls[li[i]:ri[i] + 1]]
-            if len(good):
-                out[i] = np.median(good) if name == "med" \
-                    else good.std()
+        okix = np.flatnonzero(ok)
+        if len(okix) == 0:
+            return Obj(T.F64, out)
+        wlen = (ri[okix] - li[okix] + 1).astype(np.int64)
+        csz = np.cumsum(wlen)
+        CHUNK = 1 << 22
+        cut = np.searchsorted(csz, np.arange(CHUNK, csz[-1], CHUNK))
+        pieces = np.split(np.arange(len(okix)), cut)
+        for piece in pieces:
+            if len(piece) == 0:
+                continue
+            rows = okix[piece]
+            lens = wlen[piece]
+            tot = int(lens.sum())
+            # expanded right-row ids: for window j, li[j] + (0..len-1)
+            wid = np.repeat(np.arange(len(piece), dtype=np.int64), lens)
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            rid = li[rows][wid] + (np.arange(tot, dtype=np.int64)
+                                   - offs[wid])
+            en = nulls[rid]
+            # nulls ride the value key as +inf: they sort to the back
+            # of each window, so one 2-key lexsort orders everything
+            ev = np.where(en, np.inf, vals[rid])
+            order = np.lexsort((ev, wid))
+            sv = ev[order]
+            cnt = np.bincount(wid, weights=(~en).astype(np.float64),
+                              minlength=len(piece)).astype(np.int64)
+            lo = offs + np.maximum((cnt - 1) // 2, 0)
+            hi = offs + np.maximum(cnt // 2, 0)
+            res = 0.5 * (sv[lo] + sv[hi])
+            out[rows] = np.where(cnt == 0, T.NULL_F64, res)
         return Obj(T.F64, out)
     if name == "collect":
         return aggr_collect(col, w)
