@@ -127,6 +127,35 @@ class _Compiler:
             if a is None or a[1] != T.B8:
                 return None
             return (lambda env, f=a[0]: ~(f(env).astype(bool))), T.B8
+        if name == "as" and len(args) == 2 and args[0].t == -T.SYMBOL \
+                and (args[0].attrs & 1):
+            # numeric/temporal casts only, mirroring ops/cast.cast_obj:
+            # nulls map to target nulls, f64 -> int truncates via
+            # nan_to_num, everything else is a raw dtype cast
+            from ..ops.cast import NAME2TYPE, NUMERIC
+            tt = NAME2TYPE.get(symbols.name_of(int(args[0].v)))
+            if tt not in NUMERIC:
+                return None
+            a = self.compile(args[1])
+            if a is None or a[1] not in NUMERIC:
+                return None
+            fa, ta = a
+            if ta == tt:
+                return a
+            nv = T.NULL_BY_TYPE.get(tt)
+
+            def g_as(env, f=fa, ta=ta, tt=tt, nv=nv):
+                v = f(env)
+                nn = _isnull(v, ta)
+                if tt == T.F64:
+                    r = jnp.asarray(v).astype(jnp.float64)
+                    return jnp.where(nn, jnp.float64(T.NULL_F64), r)
+                r = jnp.trunc(jnp.nan_to_num(v)) if ta == T.F64 else v
+                r = jnp.asarray(r).astype(r_dtype(tt))
+                if nv is not None:
+                    r = jnp.where(nn, r_dtype(tt)(nv), r)
+                return r
+            return g_as, tt
         if name in ("and", "or"):
             parts = [self.compile(x) for x in args]
             if any(p is None or p[1] != T.B8 for p in parts):
@@ -326,6 +355,24 @@ def expr_range(tbl: Obj, ast: Obj):
         if name == "neg" and len(args) == 1:
             r = walk(args[0])
             return (-r[1], -r[0]) if r else None
+        if name == "not" and len(args) == 1:
+            return 0, 1
+        if name in CMPS and len(args) == 2:
+            return 0, 1
+        if name == "as" and len(args) == 2 and args[0].t == -T.SYMBOL \
+                and (args[0].attrs & 1):
+            from ..ops.cast import NAME2TYPE
+            tt = NAME2TYPE.get(symbols.name_of(int(args[0].v)))
+            if tt not in (T.U8, T.I16, T.I32, T.I64, T.B8):
+                return None
+            r = walk(args[1])
+            if r is None:
+                return None
+            info = np.iinfo(T.DTYPE[tt])
+            # int->int casts wrap on overflow; only pass bounds that fit
+            if r[0] < info.min or r[1] > info.max:
+                return None
+            return r
         if name in ("+", "-", "*") and len(args) == 2:
             a, b = walk(args[0]), walk(args[1])
             if a is None or b is None:

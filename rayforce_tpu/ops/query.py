@@ -208,6 +208,17 @@ def _inner_cols_null_free(src, inner) -> bool:
     return True
 
 
+def _null_atom(rt_: int):
+    """Typed null ATOM for an expression result type, or None when the
+    type has no null sentinel (u8/b8 — trivially null-free)."""
+    if rt_ == T.F64:
+        return Obj(-T.F64, np.float64("nan"))
+    nv = T.NULL_BY_TYPE.get(rt_)
+    if nv is None:
+        return None
+    return Obj(-rt_, T.DTYPE[rt_](nv))
+
+
 def _stream_device_select(interp, src, outs, where_ast, by_ast):
     """Aggregate a parted table partition-at-a-time on the device and
     combine the (small) per-partition partials on the host — the
@@ -251,11 +262,27 @@ def _stream_device_select(interp, src, outs, where_ast, by_ast):
             combos.append(("direct", _COMBINE[op]))
             part_outs.append((sid, ast))
         elif op in ("avg", "dev"):
-            if not _inner_cols_null_free(src, sp[1]):
-                return None
             inner = ast.v[1]
-            s_ast = list_([b("sum"), inner])
-            c_ast = list_([b("count"), inner])
+            # square in f64 (x*1.0 first): narrow int inners (u8,
+            # i16...) would wrap their own dtype when squared
+            xf = list_([b("*"), inner, Obj(-T.F64, 1.0)])
+            nl = _null_atom(sp[1].rtype)
+            if nl is None or _inner_cols_null_free(src, sp[1]):
+                # null-free (by stats, or a null-less type): plain
+                # sum + row count are exact partials
+                s_ast = list_([b("sum"), inner])
+                c_ast = list_([b("count"), inner])
+            else:
+                # nullable: avg/dev SKIP nulls while plain-column sum
+                # PROPAGATES them, so the partials must skip too —
+                # sums of DERIVED expressions skip nulls (x*1.0), and
+                # the count lane counts non-null rows via the sentinel
+                # test (!= x 0N<t>), the host's elementwise null idiom
+                i64s = Obj(-T.SYMBOL, np.int64(symbols.intern("I64")),
+                           attrs=1)
+                s_ast = list_([b("sum"), xf])
+                c_ast = list_([b("sum"), list_(
+                    [b("as"), i64s, list_([b("!="), inner, nl])])])
             if op == "avg":
                 combos.append(("avg",))
                 part_outs.append(
@@ -263,9 +290,6 @@ def _stream_device_select(interp, src, outs, where_ast, by_ast):
                 part_outs.append(
                     (symbols.intern(f"__pc{k}"), c_ast))
             else:
-                # square in f64 (x*1.0 first): narrow int inners (u8,
-                # i16...) would wrap their own dtype when squared
-                xf = list_([b("*"), inner, Obj(-T.F64, 1.0)])
                 q_ast = list_([b("sum"), list_([b("*"), xf, xf])])
                 combos.append(("dev",))
                 part_outs.append(

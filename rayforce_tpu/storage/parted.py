@@ -60,6 +60,7 @@ def get_parted(db: str, tbl_name: str, interp=None) -> Obj:
         raise RayError("os", f"no partitions for {tbl_name} in {db}")
     # shared sym
     symp = os.path.join(db, "sym")
+    dom = None
     if os.path.exists(symp):
         dom = binary.get_path(symp)
         if interp is None:
@@ -116,6 +117,13 @@ def get_parted(db: str, tbl_name: str, interp=None) -> Obj:
             raise err_type("unsupported parted column type")
         col = Obj(pt, pieces)
         if base == T.ENUM:
+            # bind the loaded shared domain DIRECTLY on every piece: a
+            # named domain resolved through the current interpreter
+            # breaks when several Runtimes coexist in one process (the
+            # other engine's `sym` global would win)
+            if dom is not None:
+                for pc in pieces:
+                    pc.domain = dom
             col.domain = pieces[0].domain
         out_cols.append(col)
     return table(Obj(T.SYMBOL, np.asarray(names, dtype=np.int64)),

@@ -74,6 +74,7 @@ def get_splayed(path: str, interp=None) -> Obj:
     if names_o.t != T.SYMBOL:
         raise RayError("parse", "bad .d file")
     symp = os.path.join(path, "sym")
+    dom = None
     if os.path.exists(symp):
         dom = binary.get_path(symp)
         if interp is None:
@@ -84,5 +85,11 @@ def get_splayed(path: str, interp=None) -> Obj:
     cols = []
     for s in to_np(names_o):
         nm = symbols.name_of(int(s))
-        cols.append(binary.get_path(os.path.join(path, nm)))
+        c = binary.get_path(os.path.join(path, nm))
+        # bind the loaded domain DIRECTLY: a named domain resolved via
+        # the current interpreter breaks when several Runtimes coexist
+        # in one process (the other engine's `sym` global would win)
+        if c.t == T.ENUM and dom is not None:
+            c.domain = dom
+        cols.append(c)
     return table(names_o, cols)

@@ -216,6 +216,47 @@ def test_matrix_device_streaming_avg_dev(env_nf, agg):
         dev.set_threshold(old_t)
 
 
+@pytest.mark.parametrize("agg", ["avg", "dev"])
+def test_matrix_device_streaming_avg_dev_nullable(env, agg):
+    """NULLABLE columns stream too: avg/dev partials rewrite to
+    null-SKIPPING derived sums ((* x 1.0) — sums of derived
+    expressions skip nulls) plus an explicit non-null count lane
+    ((as 'I64 (!= x 0N<t>)), compiled on device by engine/exprc) —
+    no null-free stats gate required."""
+    rt = env
+    old = Q.STREAM_PARTED
+    old_t = dev._cfg["threshold"]
+    Q.STREAM_PARTED = True
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    calls = []
+    orig = Q._stream_device_select
+
+    def probe(*a):
+        r = orig(*a)
+        calls.append(r is not None)
+        return r
+
+    Q._stream_device_select = probe
+    try:
+        for c in ["i16", "i64", "f64"]:
+            for by in [" by: s", " by: Date"]:
+                for wh in ["", " where: (!= i32 0Ni)"]:
+                    q = ("(select {o: (%s %s) m: (max %s) from: "
+                         "pt%s%s})" % (agg, c, c, by, wh))
+                    s_dev = fmt(rt.eval_str(q))
+                    dev.set_enabled(False)
+                    s_host = fmt(rt.eval_str(q))
+                    dev.set_enabled(True)
+                    assert s_dev == s_host, q
+        assert calls and all(calls), \
+            "nullable avg/dev streaming fell back for some query"
+    finally:
+        Q._stream_device_select = orig
+        Q.STREAM_PARTED = old
+        dev.set_threshold(old_t)
+
+
 def test_virtual_date_is_constant(tmp_path):
     """A freshly loaded parted table's virtual Date column is a
     per-partition CONSTANT (value + rowcount), not a materialized
