@@ -101,11 +101,15 @@ def build_env(interp_holder: dict) -> Env:
         return Obj(-T.F64, np.float64(ms))
 
     def fn_raise(o):
+        # the reference accepts only strings (raise -> user error,
+        # eval.c ray_raise:909) or error objects; anything else is a
+        # type error. Unlike the reference (which drops the text,
+        # err_user(NULL)) the message is kept — documented superset.
         if o.t == T.C8:
             raise RayError("user", str_of(o))
         if o.t == -T.ERR:
             raise o.v
-        raise RayError("user", fmt.format_obj(o, 0, None, 0))
+        raise err_type("raise needs a string or error")
 
     def fn_return(args):
         raise _Return(args[0] if args else NULL_OBJ)
@@ -232,7 +236,7 @@ def build_env(interp_holder: dict) -> Env:
             return mk_date(_now_parts(o)[0])
         if o.t == -T.NULL:
             return mk_date(int(_time.time() // 86400) - EPOCH_2000_DAYS)
-        return cast.cast_obj(T.DATE, o)
+        return cast.cast_any(T.DATE, o)
 
     def fn_time(o):
         if o.t == -T.SYMBOL:
@@ -240,7 +244,7 @@ def build_env(interp_holder: dict) -> Env:
         if o.t == -T.NULL:
             t = _time.time()
             return mk_time(int((t % 86400) * 1000))
-        return cast.cast_obj(T.TIME, o)
+        return cast.cast_any(T.TIME, o)
 
     def fn_timestamp(o):
         from .temporal import EPOCH_2000_DAYS
@@ -249,7 +253,7 @@ def build_env(interp_holder: dict) -> Env:
         if o.t == -T.NULL:
             return mk_ts(int((_time.time() - EPOCH_2000_DAYS * 86400)
                              * 1e9))
-        return cast.cast_obj(T.TIMESTAMP, o)
+        return cast.cast_any(T.TIMESTAMP, o)
 
     # ---- registration -------------------------------------------------
     R = env.register
@@ -663,7 +667,11 @@ class Runtime:
         return self.interp.eval_str(src)
 
     def format_result(self, o: Obj) -> str:
-        return fmt.format_top(o)
+        s = fmt.format_top(o)
+        # the reference's obj_fmt returns the NULL object when nothing
+        # was rendered (format.c obj_fmt: dst stays NULL_OBJ), so an
+        # empty rendering surfaces as "Null" through format/show
+        return s if s else "Null"
 
 
 def _loadfn_cabi(path: str, fname: str, arity: int):

@@ -210,11 +210,20 @@ def _fmt_vector(o: Obj, limit: int) -> str:
 
 
 def _fmt_string(o: Obj, limit: int, full) -> str:
+    # decode the byte buffer as UTF-8 first: the reference emits string
+    # bytes raw (format.c c8_fmt_into "%c"), so a multibyte character
+    # must reach the terminal as ONE character, not per-byte mojibake
+    raw = bytes(bytearray(np.asarray(to_np(o), dtype=np.uint8)))
+    try:
+        chars = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        chars = "".join(chr(x) for x in raw)
     parts = ['"'] if full else []
     width = 1 if full else 0
     truncated = False
-    for b in to_np(o):
-        s = fmt_c8(b, False)
+    for ch in chars:
+        c = ord(ch)
+        s = fmt_c8(c, False) if c < 128 else ch
         parts.append(s)
         width += len(s)
         if _limit_reached(limit, width):

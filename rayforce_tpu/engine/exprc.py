@@ -60,8 +60,10 @@ class _Compiler:
         self.tbl = tbl
         self.cols: list[ColRef] = []
         self.by_name: dict[int, ColRef] = {}
+        self._col_touches = 0   # column READS, incl. repeat references
 
     def colref(self, sid: int):
+        self._col_touches += 1
         if sid in self.by_name:
             return self.by_name[sid]
         col = col_by_name(self.tbl, symbols.name_of(sid))
@@ -129,32 +131,47 @@ class _Compiler:
             return (lambda env, f=a[0]: ~(f(env).astype(bool))), T.B8
         if name == "as" and len(args) == 2 and args[0].t == -T.SYMBOL \
                 and (args[0].attrs & 1):
-            # numeric/temporal casts only, mirroring ops/cast.cast_obj:
-            # nulls map to target nulls, f64 -> int truncates via
-            # nan_to_num, everything else is a raw dtype cast
+            # numeric/temporal VECTOR casts only, mirroring
+            # ops/cast._vec_num: raw C conversions (narrowing wraps,
+            # no null special-casing; f64 -> int via cvtt32/cvtt64
+            # with NaN/out-of-range on INT_MIN). Columns are vectors,
+            # so both typename cases take the vector path — but a
+            # column-free subexpression is an ATOM on the host (atom
+            # table / type error), so require a column read.
             from ..ops.cast import NAME2TYPE, NUMERIC
             tt = NAME2TYPE.get(symbols.name_of(int(args[0].v)))
+            tt = abs(tt) if tt is not None else None
             if tt not in NUMERIC:
                 return None
+            touches0 = self._col_touches
             a = self.compile(args[1])
-            if a is None or a[1] not in NUMERIC:
+            if a is None or a[1] not in NUMERIC \
+                    or self._col_touches == touches0:
                 return None
             fa, ta = a
             if ta == tt:
                 return a
-            nv = T.NULL_BY_TYPE.get(tt)
+            if (tt, ta) in ((T.B8, T.U8), (T.U8, T.B8)):
+                return None     # pair absent from the reference table
 
-            def g_as(env, f=fa, ta=ta, tt=tt, nv=nv):
+            def g_as(env, f=fa, ta=ta, tt=tt):
                 v = f(env)
-                nn = _isnull(v, ta)
                 if tt == T.F64:
-                    r = jnp.asarray(v).astype(jnp.float64)
-                    return jnp.where(nn, jnp.float64(T.NULL_F64), r)
-                r = jnp.trunc(jnp.nan_to_num(v)) if ta == T.F64 else v
-                r = jnp.asarray(r).astype(r_dtype(tt))
-                if nv is not None:
-                    r = jnp.where(nn, r_dtype(tt)(nv), r)
-                return r
+                    return jnp.asarray(v).astype(jnp.float64)
+                if ta == T.F64:
+                    v = jnp.asarray(v, jnp.float64)
+                    if tt in (T.I64, T.TIMESTAMP):
+                        bad = ~((v >= -(2.0 ** 63)) & (v < 2.0 ** 63))
+                        w = jnp.trunc(jnp.where(bad, 0.0, v)) \
+                            .astype(jnp.int64)
+                        w = jnp.where(bad, jnp.int64(-2 ** 63), w)
+                    else:
+                        bad = ~((v > -(2.0 ** 31) - 1) & (v < 2.0 ** 31))
+                        w = jnp.trunc(jnp.where(bad, 0.0, v)) \
+                            .astype(jnp.int32)
+                        w = jnp.where(bad, jnp.int32(-2 ** 31), w)
+                    return w.astype(r_dtype(tt))
+                return jnp.asarray(v).astype(r_dtype(tt))
             return g_as, tt
         if name in ("and", "or"):
             parts = [self.compile(x) for x in args]
@@ -361,18 +378,23 @@ def expr_range(tbl: Obj, ast: Obj):
             return 0, 1
         if name == "as" and len(args) == 2 and args[0].t == -T.SYMBOL \
                 and (args[0].attrs & 1):
+            # Bounds survive a cast only when the inner expression is a
+            # comparison/not (b8 in {0,1}, null-free): raw casts WRAP
+            # null sentinels into ordinary values (i64 null -> 0 in i32,
+            # i16 null -> -32768 in i64), so bounds computed from
+            # null-skipping column stats would not cover them.
             from ..ops.cast import NAME2TYPE
             tt = NAME2TYPE.get(symbols.name_of(int(args[0].v)))
+            tt = abs(tt) if tt is not None else None
             if tt not in (T.U8, T.I16, T.I32, T.I64, T.B8):
                 return None
-            r = walk(args[1])
-            if r is None:
+            inner = args[1]
+            if inner.t != T.LIST or not inner.v:
                 return None
-            info = np.iinfo(T.DTYPE[tt])
-            # int->int casts wrap on overflow; only pass bounds that fit
-            if r[0] < info.min or r[1] > info.max:
+            iname = _builtin_name(inner.v[0])
+            if iname not in CMPS and iname != "not":
                 return None
-            return r
+            return walk(inner)
         if name in ("+", "-", "*") and len(args) == 2:
             a, b = walk(args[0]), walk(args[1])
             if a is None or b is None:

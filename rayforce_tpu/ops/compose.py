@@ -9,7 +9,7 @@ from ..core import types as T
 from ..core import symbols
 from ..core.obj import (Obj, to_np, list_, dict_, table, vector, string,
                         at_idx, enum as mk_enum, NULL_OBJ, atom_null)
-from ..core.errors import err_type, err_length, err_domain
+from ..core.errors import err_type, err_length, err_domain, err_value
 
 
 def ray_til(o: Obj) -> Obj:
@@ -25,8 +25,15 @@ def ray_reverse(o: Obj) -> Obj:
     if o.t == T.LIST:
         return list_(list(reversed(o.v)))
     if o.t == T.DICT:
+        # superset: the reference type-errors on dict/table reverse
         k, v = o.v
         return dict_(ray_reverse(k), ray_reverse(v))
+    if o.t == T.TABLE:
+        names, cols = o.v
+        return table(names, [ray_reverse(c) for c in cols])
+    if o.t in T.UNPARTED_OF:
+        from .parted import parted_raze
+        return ray_reverse(parted_raze(o))
     if o.t < 0:
         return o
     return Obj(o.t, to_np(o)[::-1].copy(), domain=o.domain)
@@ -160,6 +167,37 @@ def gather(o: Obj, idx: np.ndarray) -> Obj:
 
 
 def ray_concat(a: Obj, b: Obj) -> Obj:
+    if a.t == T.DICT and b.t == T.DICT:
+        # keyed merge, right wins (oracle-pinned: (concat {a:1}
+        # {b:2 a:9}) -> {a:9 b:2})
+        ka, va = a.v
+        kb, vb = b.v
+        keys = [int(s) for s in to_np(ka)]
+        vals = list(va.v)
+        pos = {s: i for i, s in enumerate(keys)}
+        nb = to_np(kb)
+        for i in range(len(nb)):
+            s = int(nb[i])
+            if s in pos:
+                vals[pos[s]] = vb.v[i]
+            else:
+                pos[s] = len(keys)
+                keys.append(s)
+                vals.append(vb.v[i])
+        return dict_(Obj(T.SYMBOL, np.asarray(keys, dtype=np.int64)),
+                     list_(vals))
+    if a.t == T.TABLE and b.t == T.TABLE:
+        # row append; schemas must carry the same column names
+        na, ca = a.v
+        nb_o, cb = b.v
+        ia = [int(s) for s in to_np(na)]
+        ib = [int(s) for s in to_np(nb_o)]
+        if set(ia) != set(ib):
+            raise err_value("concat: mismatched table schemas")
+        order = {s: i for i, s in enumerate(ib)}
+        cols = [ray_concat(ca[i], cb[order[ia[i]]])
+                for i in range(len(ia))]
+        return table(na, cols)
     la = a.v if a.t == T.LIST else None
     lb = b.v if b.t == T.LIST else None
     if la is not None or lb is not None:
@@ -168,17 +206,18 @@ def ray_concat(a: Obj, b: Obj) -> Obj:
         return list_(ea + eb)
     if a.t < 0 and b.t < 0:
         return unify_list([a, b])
+    ba, bb = abs(a.t), abs(b.t)
+    compat = ba == bb and (ba != T.ENUM or a.domain is b.domain)
+    if not compat:
+        # incompatible operands -> 2-element list, atoms STAY atoms
+        # (oracle-pinned: (concat "ab" 'c) -> ("ab" c))
+        return list_([a, b])
     if a.t < 0:
         a = take_n(a, 1)
     if b.t < 0:
         b = take_n(b, 1)
-    if a.t == b.t and a.t != T.ENUM:
-        return Obj(a.t, np.concatenate([to_np(a), to_np(b)]))
-    if a.t == T.ENUM and b.t == T.ENUM and a.domain is b.domain:
-        return Obj(T.ENUM, np.concatenate([to_np(a), to_np(b)]),
-                   domain=a.domain)
-    # incompatible vector types -> 2-element list of the operands
-    return list_([a, b])
+    return Obj(a.t, np.concatenate([to_np(a), to_np(b)]),
+               domain=a.domain if a.t == T.ENUM else None)
 
 
 def _elems(o: Obj):
@@ -340,6 +379,11 @@ def ray_raze(o: Obj) -> Obj:
     out = items[0]
     for e in items[1:]:
         out = ray_concat(out, e)
+    if out.t == T.LIST:
+        # the reference's raze unifies the merged rows when they are
+        # same-type atoms ((raze (list (list 1 2) (list 3))) -> [1 2 3],
+        # oracle-pinned); mixed content stays a LIST
+        return unify_list(out.v)
     return out
 
 

@@ -34,6 +34,8 @@ def ray_first(o: Obj) -> Obj:
     if o.t == T.MAPFILTER:
         from .filter import filter_collect
         o = filter_collect(o.v[0], o.v[1])
+    if o.t == T.DICT:
+        return o    # dicts pass through whole (oracle-pinned)
     if o.t < 0:
         return o
     if len(o) == 0:
@@ -48,6 +50,8 @@ def ray_last(o: Obj) -> Obj:
     if o.t == T.MAPFILTER:
         from .filter import filter_collect
         o = filter_collect(o.v[0], o.v[1])
+    if o.t == T.DICT:
+        return o    # dicts pass through whole (oracle-pinned)
     if o.t < 0:
         return o
     if len(o) == 0:
@@ -96,9 +100,10 @@ def ray_at(o: Obj, k: Obj) -> Obj:
             return list_(sel)
         if k.t < 0:  # row -> dict
             return at_idx(o, int(k.v))
+        # (at t [rows]) -> LIST of row dicts (oracle-pinned; the
+        # reference's at over tables yields rows, items.c:74)
         idx = to_np(k).astype(np.int64)
-        names, cols = o.v
-        return table(names, [gather(c, idx) for c in cols])
+        return list_([at_idx(o, int(i)) for i in idx])
     if t == T.DICT:
         keys, vals = o.v
         if k.t < 0:
@@ -117,6 +122,8 @@ def ray_at(o: Obj, k: Obj) -> Obj:
         if -k.t not in (T.I16, T.I32, T.I64, T.U8):
             raise err_type("at index must be integer")
         i = int(k.v)
+        if i < 0:
+            i += len(o)   # negative = from the end ((at [1 2 3] -1)=3)
         if i < 0 or i >= len(o):
             if o.t == T.LIST:
                 return NULL_OBJ
@@ -183,6 +190,8 @@ def ray_find(o: Obj, x: Obj) -> Obj:
             if obj_equal(at_idx(vals, i), x):
                 return at_idx(keys, i)
         return NULL_OBJ
+    if o.t == T.TABLE:
+        raise err_type("find in table")   # as the reference
     if o.t < 0:
         raise err_type("find in atom")
     if x.t < 0 and o.t != T.LIST:
@@ -254,16 +263,9 @@ def ray_within(x: Obj, rng: Obj) -> Obj:
 
 
 def ray_sect(a: Obj, b: Obj) -> Obj:
-    """Set intersection, keeps a's ORDER (first appearance — unlike
-    `distinct`, whose integer path is ascending; oracle-pinned
-    (sect [3 1 2] [2 3 9]) -> [3 2])."""
-    if a.t >= 0 and a.t != T.LIST:
-        arr = to_np(a)
-        if a.t == T.GUID:
-            _, idx = np.unique(arr, axis=0, return_index=True)
-        else:
-            _, idx = np.unique(arr, return_index=True)
-        a = Obj(a.t, arr[np.sort(idx)], domain=a.domain)
+    """Set intersection, keeping a's order AND duplicates (oracle-pinned
+    (sect [1 2 2 3] [2 2 4]) -> [2 2]) — a filtered left side, not a
+    dedup (reference items.c:898)."""
     mask = ray_in(a, b)
     if mask.t < 0:
         return a if int(mask.v) else take_n(a, 0)
@@ -302,24 +304,31 @@ def ray_bin(hay: Obj, needles: Obj) -> Obj:
 
 
 def ray_binr(hay: Obj, needles: Obj) -> Obj:
-    """index of first element >= needle (items.c:1599)."""
+    """index of first element >= needle; a needle past the last element
+    yields len (oracle-pinned (binr [10 20 30] [35]) -> 3), matching
+    the reference's lower-bound scan (items.c:1599)."""
     a = to_np(hay)
     if needles.t < 0:
         i = int(np.searchsorted(a, needles.v, side="left"))
-        return Obj(-T.I64, np.int64(i) if i < len(a) else T.NULL_I64)
+        return Obj(-T.I64, np.int64(i))
     n = to_np(needles)
     idx = np.searchsorted(a, n, side="left").astype(np.int64)
-    idx = np.where(idx >= len(a), T.NULL_I64, idx)
     return Obj(T.I64, idx)
 
 
 def ray_take(o: Obj, n: Obj) -> Obj:
-    """(take x n): n>=0 head/repeat, n<0 tail (items.c:398)."""
+    """(take x n): n>=0 head/repeat, n<0 tail (items.c:398). Dicts take
+    entries, cycling like vectors (oracle-pinned: (take {a:1 b:2} 5)
+    repeats entries)."""
     if n.t >= 0:
         raise err_type("take count must be an atom")
     cnt = int(n.v)
     if o.t < 0:
         return take_n(o, abs(cnt))
+    if o.t == T.DICT:
+        k, v = o.v
+        from ..core.obj import dict_
+        return dict_(ray_take(k, n), ray_take(v, n))
     ln = len(o)
     if cnt >= 0:
         if cnt <= ln:

@@ -49,25 +49,21 @@ def _bool_vec(o: Obj):
 
 
 def ray_and(interp, args: list) -> Obj:
-    """Short-circuit AND; vector operands combine elementwise."""
+    """Eager elementwise AND — the reference's logic_map evaluates every
+    operand (no short-circuit; `if` is the control-flow form),
+    logic.c:262."""
+    vals = [interp.eval_arg(a, False) for a in args]
     acc = None
-    for a in args:
-        v = interp.eval_arg(a, False)
-        if v.t == -T.B8 and not int(v.v) and acc is None:
-            return Obj(-T.B8, np.int8(0))
+    for v in vals:
         acc = v if acc is None else bool_and(acc, v)
-        if acc.t == -T.B8 and not int(acc.v):
-            return acc
     return acc if acc is not None else Obj(-T.B8, np.int8(1))
 
 
 def ray_or(interp, args: list) -> Obj:
+    vals = [interp.eval_arg(a, False) for a in args]
     acc = None
-    for a in args:
-        v = interp.eval_arg(a, False)
+    for v in vals:
         acc = v if acc is None else bool_or(acc, v)
-        if acc.t == -T.B8 and int(acc.v):
-            return acc
     return acc if acc is not None else Obj(-T.B8, np.int8(0))
 
 
@@ -81,19 +77,90 @@ def ray_not(o: Obj) -> Obj:
     raise err_type("not needs booleans")
 
 
+def _glob_match(s: str, p: str) -> bool:
+    """The reference's pattern language (string.c str_match): `*` any
+    run, `?` one char, `[abc]`/`[^abc]` LITERAL character sets (no
+    ranges — `[0-9]` is the set {'0','-','9'}), single-star greedy
+    backtracking. fnmatch is NOT equivalent (it expands ranges)."""
+    n, m = len(s), len(p)
+    si = pi = 0
+    bt_p = -1
+    bt_s = 0
+
+    def class_at(pj):
+        # parse [set] at pj (after '['); returns (chars, invert, next)
+        inv = pj < m and p[pj] == "^"
+        if inv:
+            pj += 1
+        chars = set()
+        while pj < m and p[pj] != "]":
+            chars.add(p[pj])
+            pj += 1
+        if pj == m:
+            return None     # unmatched '['
+        return chars, inv, pj + 1
+
+    while si < n:
+        if pi >= m:
+            return False
+        c = p[pi]
+        if c == "*":
+            bt_p = pi
+            while pi < m and p[pi] == "*":
+                pi += 1
+            if pi == m:
+                return True
+            bt_s = si
+            if p[pi] not in ("[", "?"):
+                # fast-forward to the next literal occurrence
+                j = s.find(p[pi], si)
+                if j < 0:
+                    return False
+                si = bt_s = j
+            continue
+        if c == "?":
+            si += 1
+            pi += 1
+            continue
+        if c == "[":
+            cl = class_at(pi + 1)
+            if cl is None:
+                return False
+            chars, inv, nxt = cl
+            ok = (s[si] in chars) != inv
+            if ok:
+                si += 1
+                pi = nxt
+                continue
+        elif s[si] == c:
+            si += 1
+            pi += 1
+            continue
+        if bt_p < 0:
+            return False
+        pi = bt_p + 1
+        bt_s += 1
+        si = bt_s
+    while pi < m and p[pi] == "*":
+        pi += 1
+    return pi == m
+
+
 def ray_like(s: Obj, pat: Obj) -> Obj:
-    """Glob match (logic.c:266)."""
-    p = str_of(pat) if pat.t == T.C8 else str_of(pat)
+    """Glob match (logic.c:266; pattern language of string.c
+    str_match). Symbol operands are a documented superset — the
+    reference only accepts strings."""
+    p = str_of(pat)
     if s.t == T.C8:
-        return Obj(-T.B8, np.int8(1 if fnmatch.fnmatchcase(str_of(s), p)
+        return Obj(-T.B8, np.int8(1 if _glob_match(str_of(s), p)
                                   else 0))
     if s.t == -T.SYMBOL:
-        return Obj(-T.B8, np.int8(1 if fnmatch.fnmatchcase(str_of(s), p)
+        return Obj(-T.B8, np.int8(1 if _glob_match(str_of(s), p)
                                   else 0))
     if s.t == T.SYMBOL:
         from ..core import symbols
         out = np.asarray(
-            [fnmatch.fnmatchcase(symbols.name_of(int(x)), p)
+            [_glob_match(symbols.name_of(int(x)), p)
              for x in to_np(s)], dtype=np.int8)
         return Obj(T.B8, out)
     if s.t == T.ENUM:

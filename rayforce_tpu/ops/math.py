@@ -45,10 +45,6 @@ def ray_mod(a, b):
 
 
 def ray_xbar(a, b):
-    from ..core import types as _T
-    if abs(a.t) in _T.TEMPORAL or abs(b.t) in _T.TEMPORAL:
-        from ..core.errors import err_type as _et
-        raise _et("xbar on temporal")
     return arith("xbar", a, b)
 
 
@@ -89,6 +85,12 @@ def ray_neg(o):
     t = abs(o.t)
     if t == T.LIST:
         return list_([ray_neg(e) for e in o.v])
+    if t in (T.B8, T.U8):
+        # booleans/bytes negate as i64 (oracle-pinned: (neg [true
+        # false]) -> I64 [-1 0])
+        if o.t < 0:
+            return Obj(-T.I64, np.int64(-int(o.v)))
+        return Obj(T.I64, -to_np(o).astype(np.int64))
     if t in (T.I16, T.I32, T.I64, T.F64):
         if o.t < 0:
             return Obj(o.t, T.DTYPE[t](-o.v))
@@ -165,6 +167,14 @@ def _sum_np(o: Obj):
             return o
         raise err_type("sum on non-numeric")
     t = o.t
+    if t in (T.TIME, T.TIMESTAMP):
+        # durations sum to their own type (oracle-pinned: (sum
+        # [01:00:00.000 02:00:00.000]) -> 03:00:00.000); dates do not
+        a = to_np(o)
+        a = a[~is_null_np(t, a)]
+        with np.errstate(over="ignore"):
+            s = a.astype(np.int64).sum()
+        return Obj(-t, T.DTYPE[t](s))
     if t == T.ENUM or t not in SUM_TYPE:
         raise err_type("sum on non-numeric")
     rt = SUM_TYPE[t]

@@ -124,6 +124,11 @@ def ray_format(args: list) -> Obj:
     s = obj_fmt_n(args)
     if s is None:
         raise RayError("parse", "bad format")
+    if s == "":
+        # the reference's obj_fmt never allocates for zero rendered
+        # bytes, so (format "") returns the NULL object (format.c
+        # obj_fmt: dst stays NULL_OBJ)
+        return NULL_OBJ
     return string(s)
 
 

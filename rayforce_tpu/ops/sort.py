@@ -19,7 +19,26 @@ from .compose import gather
 def sort_key(col: Obj) -> np.ndarray:
     t = col.t
     if t == T.LIST:
-        raise err_type("cannot sort list column")
+        # lists order lexicographically by element (the reference's
+        # merge-sort path for strings/lists, sort.c:119-159;
+        # oracle-pinned: (iasc (list "b" "a" "c")) -> [1 0 2])
+        def key_of(e):
+            if e.t == T.C8:
+                return (0, to_np(e).tobytes())
+            if e.t == -T.SYMBOL:
+                return (0, symbols.name_of(int(e.v)).encode())
+            if e.t < 0:
+                return (1, (float(e.v),))
+            return (2, tuple(np.asarray(to_np(e),
+                                        dtype=np.float64).tolist()))
+        ks = [key_of(e) for e in col.v]
+        kinds = {k[0] for k in ks}
+        if len(kinds) != 1:
+            raise err_type("cannot sort mixed list")
+        out = np.empty(len(ks), dtype=object)
+        for i, k in enumerate(ks):
+            out[i] = k[1]
+        return out
     if t in T.UNPARTED_OF:
         # parted column: raze partitions before keying (the reference
         # type-errors on sorting PARTED vectors; we order the razed

@@ -295,6 +295,8 @@ def ray_modify(interp, args: list) -> Obj:
         raise err_arity("modify needs 4 args")
     sid, obj = fetch_target(interp, args[0])
     fn = args[1]
+    if fn.t not in (T.LAMBDA, T.UNARY, T.BINARY, T.VARY):
+        raise err_type("modify needs a function")
     path = args[2]
     val = args[3]
     if path.t < 0:

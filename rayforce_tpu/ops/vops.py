@@ -58,6 +58,10 @@ def promote_arith(op: str, ta: int, tb: int) -> tuple:
             return T.I64, T.I64
         if op == "add" and ta == tb and ta != T.DATE:
             return ta, _temporal_base(ta)
+        if op in ("mod", "xbar") and ta == tb:
+            # durations bucket/mod within their own unit (oracle:
+            # (xbar 01:00:00.000 [01:30:00.000 ...]) -> TIME)
+            return ta, _temporal_base(ta)
         raise err_type(f"arith on {T.TYPE_NAMES.get(ta)} and "
                        f"{T.TYPE_NAMES.get(tb)}")
     if a_tmp or b_tmp:
@@ -65,6 +69,15 @@ def promote_arith(op: str, ta: int, tb: int) -> tuple:
         if other in (T.U8, T.I16, T.I32, T.I64, T.B8):
             if other == T.B8:
                 raise err_type("b8 in arithmetic")
+            # DATEs only shift/bucket ((* date 2) is a type error in
+            # the reference), and for non-add/sub ops the temporal
+            # side must be the DATA (first) operand — (xbar 3600000
+            # 09:45:00.000) and (xbar 7 2024.01.05) both type-error
+            if op not in ("add", "sub"):
+                if not a_tmp:
+                    raise err_type("temporal must be the data operand")
+                if tmp == T.DATE and op != "xbar":
+                    raise err_type("date arithmetic")
             return tmp, _temporal_base(tmp)
         raise err_type("temporal with non-integer")
     if ta == T.B8 or tb == T.B8:
@@ -170,14 +183,26 @@ def arith(op: str, a: Obj, b: Obj) -> Obj:
     if a.t in (-T.NULL, T.NULL) or b.t in (-T.NULL, T.NULL):
         raise err_type("null in arithmetic")
     if a.t == T.DICT or b.t == T.DICT:
-        d = a if a.t == T.DICT else b
-        other = b if a.t == T.DICT else a
-        keys, vals = d.v
-        nv = arith(op, vals, other) if d is a else arith(op, other, vals)
-        return dict_(keys, nv)
+        # the reference rejects dicts in arithmetic (oracle-pinned:
+        # (+ {a:1} 100) -> type error)
+        raise err_type("dict in arithmetic")
 
     # ENUM degrades to SYMBOL ids -> type error in arithmetic, as reference
     ta, tb = abs(a.t), abs(b.t)
+    if op == "add" and {ta, tb} == {T.DATE, T.TIME}:
+        # date + time composes a TIMESTAMP (oracle-pinned:
+        # (+ 2024.01.01 09:30:00.000) -> 2024.01.01D09:30:00.000000000)
+        d, tm = (a, b) if ta == T.DATE else (b, a)
+        dv = np.asarray(to_np(d) if d.t > 0 else d.v, dtype=np.int64)
+        tv = np.asarray(to_np(tm) if tm.t > 0 else tm.v, dtype=np.int64)
+        nulls = (dv == T.NULL_I32) | (tv == T.NULL_I32)
+        ns = dv * np.int64(86_400_000_000_000) + tv * np.int64(1_000_000)
+        ns = np.where(nulls, np.int64(T.NULL_I64), ns)
+        if a.t < 0 and b.t < 0:
+            return Obj(-T.TIMESTAMP, np.int64(ns))
+        if ns.ndim == 0:
+            ns = ns[None]
+        return Obj(T.TIMESTAMP, ns)
     if op == "fdiv":
         rt, ct = T.F64, T.F64
         _ = promote_arith("mul", ta, tb)  # validate operand classes
@@ -248,6 +273,16 @@ def _unpart(o: Obj) -> Obj:
 def compare(op: str, a: Obj, b: Obj) -> Obj:
     a = _unpart(a)
     b = _unpart(b)
+    if T.TABLE in (a.t, b.t) or T.DICT in (a.t, b.t):
+        # whole-object equality yields one boolean (oracle-pinned:
+        # (== t t) -> true); ordering comparisons are type errors
+        if op not in ("eq", "ne"):
+            raise err_type("cmp on table/dict")
+        from .cmp import obj_equal
+        r = obj_equal(a, b)
+        if op == "ne":
+            r = not r
+        return Obj(-T.B8, np.int8(1 if r else 0))
     for x, y, flip in ((a, b, False), (b, a, True)):
         if x.t == T.LIST:
             from ..core.obj import at_idx

@@ -127,6 +127,7 @@ def read_csv(types_o: Obj, path: str, sep: str = ",") -> Obj:
     tcodes = []
     for nm in tnames:
         t = NAME2TYPE.get(nm)
+        t = abs(t) if t is not None else None
         if t is None:
             raise err_value(f"unknown type {nm}")
         tcodes.append(t)
