@@ -118,6 +118,11 @@ def ray_insert(interp, args: list) -> Obj:
         new_cols.append(_col_append(col, v))
     out = table(names, new_cols)
     store_back(interp, sid, out)
+    if sid is not None:
+        # a NAMED insert returns the target symbol (oracle-pinned:
+        # (insert 't {a: 5}) -> t), like alter/modify
+        from ..core.obj import sym
+        return sym(sid)
     return out
 
 
@@ -199,6 +204,9 @@ def ray_upsert(interp, args: list) -> Obj:
                 out_cols[ci] = _col_append(col, gather(v, miss))
     out = table(names, out_cols)
     store_back(interp, sid, out)
+    if sid is not None:
+        from ..core.obj import sym
+        return sym(sid)   # named upsert returns the symbol, like insert
     return out
 
 
