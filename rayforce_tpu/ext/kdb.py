@@ -6,7 +6,8 @@ Implements the public kdb+ IPC format:
 - handshake: client sends "user:pass\\x03\\x00", server replies one
   capability byte;
 - message: 8-byte header [endian=1, msgtype(0 async,1 sync,2 response),
-  compressed=0, 0, u32 total-length] + serialized object;
+  compressed flag, 0, u32 total-length] + serialized object
+  (compressed frames decode via the public kdb block scheme);
 - atoms are negative type codes, vectors positive with [attrib u8]
   [u32 len]; 0 = mixed list, 99 = dict, 98 = table (98, attrib, dict).
 
@@ -183,15 +184,125 @@ def pack_msg(o: Obj, msgtype: int) -> bytes:
                        8 + len(payload)) + payload
 
 
+def decompress(body: bytes) -> bytes:
+    """kdb+ IPC block decompression (the public algorithm: one control
+    byte per 8 items; a set bit copies 2+n bytes from a 256-slot
+    position table hashed by adjacent-byte XOR, rebuilt from the output
+    as it grows; matches the reference bridge raykx.c:268-333).
+
+    `body` is everything after the 8-byte message header; its first 4
+    bytes hold the uncompressed TOTAL length including that header."""
+    if len(body) < 4:
+        raise RayError("parse", "kdb: short compressed message")
+    n_total = struct.unpack_from("<I", body)[0]
+    n = n_total - 8
+    out = bytearray(n)
+    pos = [0] * 256
+    d = 4
+    s = 0
+    p = 0
+    ctrl = 0
+    bit = 0
+    while s < n:
+        if bit == 0:
+            ctrl = body[d]
+            d += 1
+            bit = 1
+        if ctrl & bit:
+            r = pos[body[d]]
+            d += 1
+            out[s] = out[r]
+            out[s + 1] = out[r + 1]
+            s += 2
+            r += 2
+            run = body[d]
+            d += 1
+            for m in range(run):
+                out[s + m] = out[r + m]
+        else:
+            out[s] = body[d]
+            s += 1
+            d += 1
+            run = None
+        while p < s - 1:
+            pos[out[p] ^ out[p + 1]] = p
+            p += 1
+        if run is not None:
+            s += run
+            p = s
+        bit <<= 1
+        if bit == 256:
+            bit = 0
+    return bytes(out)
+
+
+def compress(payload: bytes) -> bytes:
+    """Compress a message body with the same scheme (exercises
+    `decompress` in the tests; usable toward peers that accept
+    compressed frames). Emits the hash-slot byte for each match — the
+    receiver resolves it through its own position table, which both
+    sides grow identically from the decoded prefix. Returns the body
+    WITH the leading u32 uncompressed-total field."""
+    n = len(payload)
+    out = bytearray(struct.pack("<I", n + 8))
+    pos = [0] * 256
+    s = 0
+    p = 0
+    block: list = []     # up to 8 encoded items
+    fbits = 0
+
+    def flush():
+        nonlocal fbits, block
+        if block:
+            out.append(fbits)
+            for b in block:
+                out.extend(b)
+            fbits = 0
+            block = []
+
+    while s < n:
+        item = None
+        if s + 1 < n:
+            h = payload[s] ^ payload[s + 1]
+            r = pos[h]
+            if 0 <= r < s - 1 and payload[r] == payload[s] \
+                    and payload[r + 1] == payload[s + 1]:
+                run = 0
+                while run < 255 and s + 2 + run < n \
+                        and payload[r + 2 + run] == payload[s + 2 + run]:
+                    run += 1
+                item = (h, run)
+        if item is not None:
+            h, run = item
+            fbits |= 1 << len(block)
+            block.append(bytes((h, run)))
+            s += 2
+            while p < s - 1:
+                pos[payload[p] ^ payload[p + 1]] = p
+                p += 1
+            s += run
+            p = s
+        else:
+            block.append(payload[s:s + 1])
+            s += 1
+            while p < s - 1:
+                pos[payload[p] ^ payload[p + 1]] = p
+                p += 1
+        if len(block) == 8:
+            flush()
+    flush()
+    return bytes(out)
+
+
 def read_msg(sock) -> tuple:
     hdr = _read_exact(sock, 8)
     endian, msgtype, comp, _z, total = struct.unpack("<BBBBI", hdr)
     if endian != 1:
         raise RayError("nyi", "kdb: big-endian peer")
+    body = _read_exact(sock, total - 8)
     if comp:
-        raise RayError("nyi", "kdb: compressed message")
-    payload = _read_exact(sock, total - 8)
-    return msgtype, de_k(payload)
+        body = decompress(body)
+    return msgtype, de_k(body)
 
 
 def _read_exact(sock, n):

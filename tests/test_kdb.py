@@ -138,3 +138,45 @@ def test_kdb_loopback():
     finally:
         lst.close()
         t.join(timeout=2)
+
+
+def test_kdb_compressed_roundtrip():
+    """The kdb IPC block compression decodes (reference bridge
+    raykx.c:268-333): literal/match control bits over a 256-slot
+    adjacent-XOR position table grown from the decoded prefix. The
+    compressor here emits the same stream shape, so decompress(compress
+    (x)) == x across repetitive, random, and wire-payload inputs; a
+    compressed frame round-trips through read_msg."""
+    import numpy as np
+    from rayforce_tpu.core.obj import Obj
+    from rayforce_tpu.core import types as T_
+    rng = np.random.default_rng(5)
+    samples = [
+        b"",
+        b"a",
+        b"abababababababababab" * 50,
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, 8192, dtype=np.uint8)),
+        kdb.ser_k(Obj(T_.I64, np.arange(5000, dtype=np.int64))),
+        kdb.ser_k(Obj(T_.F64, np.zeros(3000))),
+    ]
+    for raw in samples:
+        body = kdb.compress(raw)
+        assert kdb.decompress(body) == raw, len(raw)
+
+    # a full compressed MESSAGE through the socket reader
+    payload = kdb.ser_k(Obj(T_.I64, np.arange(4000, dtype=np.int64)))
+    body = kdb.compress(payload)
+    frame = struct.pack("<BBBBI", 1, 2, 1, 0, 8 + len(body)) + body
+
+    class _FakeSock:
+        def __init__(self, b):
+            self.b = b
+
+        def recv(self, n):
+            c, self.b = self.b[:n], self.b[n:]
+            return c
+
+    mt, obj = kdb.read_msg(_FakeSock(frame))
+    assert mt == 2
+    assert (to_np(obj) == np.arange(4000)).all()
