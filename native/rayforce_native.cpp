@@ -68,31 +68,58 @@ inline const char *line_end(const char *buf, int64_t buflen,
     return e;
 }
 
-inline int64_t parse_int(const char *p, const char *e, bool *ok) {
-    *ok = false;
-    if (p >= e) return 0;
+// Prefix semantics of the reference's i64_from_str (string.c): skip
+// whitespace, accept '-' ONLY (no '+'), then the digit run; anything
+// after is ignored and a field with no digits reads as 0.
+inline int64_t parse_int(const char *p, const char *e, bool * /*ok*/) {
+    while (p < e && (*p == ' ' || *p == '\t' || *p == '\r' ||
+                     *p == '\n')) p++;
     bool neg = false;
-    if (*p == '-' || *p == '+') { neg = *p == '-'; p++; }
-    if (p >= e) return 0;
+    if (p < e && *p == '-') { neg = true; p++; }
     int64_t v = 0;
-    for (; p < e; p++) {
-        if (*p < '0' || *p > '9') return 0;
+    for (; p < e && *p >= '0' && *p <= '9'; p++)
         v = v * 10 + (*p - '0');
-    }
-    *ok = true;
     return neg ? -v : v;
 }
 
-inline double parse_f64(const char *p, const char *e, bool *ok) {
-    char tmp[64];
-    size_t n = (size_t)(e - p);
-    if (n == 0 || n >= sizeof(tmp)) { *ok = false; return 0.0; }
-    memcpy(tmp, p, n);
-    tmp[n] = 0;
-    char *endp = nullptr;
-    double v = strtod(tmp, &endp);
-    *ok = endp == tmp + n;
-    return v;
+// Reference f64_from_str (string.c:273): [ws][-]digits[.digits]
+// [eE[+-]digits]; no inf/nan/hex forms — a non-numeric prefix is 0.0.
+inline double parse_f64(const char *p, const char *e, bool * /*ok*/) {
+    while (p < e && (*p == ' ' || *p == '\t' || *p == '\r' ||
+                     *p == '\n')) p++;
+    double sign = 1.0;
+    if (p < e && *p == '-') { sign = -1.0; p++; }
+    double ip = 0.0;
+    while (p < e && *p >= '0' && *p <= '9')
+        ip = ip * 10 + (*p++ - '0');
+    if (p < e && *p == '.') {
+        p++;
+        double frac = 0.0, div = 1.0;
+        while (p < e && *p >= '0' && *p <= '9') {
+            frac = frac * 10 + (*p++ - '0');
+            div *= 10.0;
+        }
+        ip += frac / div;
+    }
+    if (p < e && (*p == 'e' || *p == 'E')) {
+        p++;
+        int es = 1;
+        if (p < e && (*p == '-' || *p == '+')) {
+            if (*p == '-') es = -1;
+            p++;
+        }
+        const char *d0 = p;
+        int64_t ex = 0;
+        while (p < e && *p >= '0' && *p <= '9')
+            ex = ex * 10 + (*p++ - '0');
+        if (p > d0) {
+            double m = 1.0;
+            for (int64_t j = 0; j < ex; j++)
+                m = es > 0 ? m * 10.0 : m / 10.0;
+            ip *= m;
+        }
+    }
+    return sign * ip;
 }
 
 // days from civil date (Howard Hinnant's algorithm; matches
@@ -149,6 +176,9 @@ int64_t rf_index_lines(const char *buf, int64_t n, int64_t *starts,
     return cnt;
 }
 
+// Null rule (reference parse_csv_line, io.c:473-532): a field is a
+// typed NULL only when it STARTS at line end (missing / empty last
+// field); an empty field followed by a separator parses as 0.
 void rf_parse_i64(const char *buf, int64_t buflen,
                   const int64_t *starts, int64_t nrows, int col,
                   char sep, int64_t *out, int64_t nullv) {
@@ -157,10 +187,8 @@ void rf_parse_i64(const char *buf, int64_t buflen,
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
             bool ok = find_field(buf + starts[i], le, col, sep,
-                                 &fs, &fe) && fs < fe;
-            bool pok = false;
-            int64_t v = ok ? parse_int(fs, fe, &pok) : 0;
-            out[i] = pok ? v : nullv;
+                                 &fs, &fe) && fs < le;
+            out[i] = ok ? parse_int(fs, fe, nullptr) : nullv;
         }
     });
 }
@@ -173,15 +201,52 @@ void rf_parse_f64(const char *buf, int64_t buflen,
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
             bool ok = find_field(buf + starts[i], le, col, sep,
-                                 &fs, &fe) && fs < fe;
-            bool pok = false;
-            double v = ok ? parse_f64(fs, fe, &pok) : 0.0;
-            out[i] = pok ? v : NAN;
+                                 &fs, &fe) && fs < le;
+            out[i] = ok ? parse_f64(fs, fe, nullptr) : NAN;
+        }
+    });
+}
+
+// b8_from_str (reference string.c:108): "true"/"True"/"TRUE" prefix
+// is true, everything else — including a missing field — is false.
+void rf_parse_b8(const char *buf, int64_t buflen,
+                 const int64_t *starts, int64_t nrows, int col,
+                 char sep, int8_t *out) {
+    parallel_rows(nrows, [=](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            const char *le = line_end(buf, buflen, starts[i]);
+            const char *fs, *fe;
+            int8_t v = 0;
+            if (find_field(buf + starts[i], le, col, sep, &fs, &fe)
+                && fe - fs >= 4 &&
+                (memcmp(fs, "true", 4) == 0 ||
+                 memcmp(fs, "True", 4) == 0 ||
+                 memcmp(fs, "TRUE", 4) == 0))
+                v = 1;
+            out[i] = v;
         }
     });
 }
 
 // dates like 2024.01.31 or 2024-01-31 -> days since 2000.01.01
+// Reference date_from_str (date.c): three digit runs separated by
+// ANY non-digit runs; year wraps u16, month 1-12, day 1-31.
+inline bool date_runs(const char *p, const char *e, int64_t *vals,
+                      int need) {
+    int cnt = 0;
+    while (p < e && cnt < need) {
+        int64_t v = 0;
+        const char *d0 = p;
+        while (p < e && *p >= '0' && *p <= '9')
+            v = v * 10 + (*p++ - '0');
+        if (p == d0) return false;   // no digits where a run is due
+        vals[cnt++] = v;
+        while (p < e && (*p < '0' || *p > '9')) p++;
+    }
+    for (; cnt < need; cnt++) vals[cnt] = INT64_MIN;  // absent run
+    return true;
+}
+
 void rf_parse_date(const char *buf, int64_t buflen,
                    const int64_t *starts, int64_t nrows, int col,
                    char sep, int32_t *out, int32_t nullv) {
@@ -191,25 +256,22 @@ void rf_parse_date(const char *buf, int64_t buflen,
             const char *fs, *fe;
             out[i] = nullv;
             if (!find_field(buf + starts[i], le, col, sep, &fs, &fe)
-                || fe - fs < 8)
+                || fs >= le || fs >= fe)
                 continue;
-            int64_t y = 0, m = 0, d = 0, part = 0, vals[3] = {0, 0, 0};
-            bool bad = false;
-            for (const char *p = fs; p < fe; p++) {
-                if (*p == '.' || *p == '-' || *p == '/') {
-                    if (++part > 2) { bad = true; break; }
-                } else if (*p >= '0' && *p <= '9') {
-                    vals[part] = vals[part] * 10 + (*p - '0');
-                } else { bad = true; break; }
-            }
-            if (bad || part != 2) continue;
-            y = vals[0]; m = vals[1]; d = vals[2];
+            int64_t v[3];
+            if (!date_runs(fs, fe, v, 3) || v[2] == INT64_MIN)
+                continue;
+            int64_t y = v[0] & 0xFFFF, m = v[1], d = v[2];
+            if (m < 1 || m > 12 || d < 1 || d > 31) continue;
             out[i] = (int32_t)days_from_civil(y, m, d);
         }
     });
 }
 
-// HH:MM:SS[.mmm] -> milliseconds
+// Reference time_from_str (time.c:55): '-' anywhere flips sign,
+// ':' and '.' BOTH advance the field, any other non-digit is null;
+// needs h:m:s or h:m:s.ms; h/m/s wrap u8, ms wraps u16 and is RAW
+// (".5" is 5 milliseconds).
 void rf_parse_time(const char *buf, int64_t buflen,
                    const int64_t *starts, int64_t nrows, int col,
                    char sep, int32_t *out, int32_t nullv) {
@@ -219,26 +281,91 @@ void rf_parse_time(const char *buf, int64_t buflen,
             const char *fs, *fe;
             out[i] = nullv;
             if (!find_field(buf + starts[i], le, col, sep, &fs, &fe)
-                || fe - fs < 5)
+                || fs >= le)
                 continue;
-            int64_t parts[4] = {0, 0, 0, 0};
-            int pi = 0;
+            int64_t parts[4] = {0, 0, 0, 0}, val = 0;
+            int cnt = 0, sign = 1;
             bool bad = false;
             for (const char *p = fs; p < fe; p++) {
-                if (*p == ':') { if (++pi > 2) { bad = true; break; } }
-                else if (*p == '.' && pi == 2) pi = 3;
-                else if (*p >= '0' && *p <= '9')
-                    parts[pi] = parts[pi] * 10 + (*p - '0');
+                if (*p == '-') { sign = -1; }
+                else if (*p == ':' || *p == '.') {
+                    if (cnt > 2) { bad = true; break; }
+                    parts[cnt++] = val;
+                    val = 0;
+                } else if (*p >= '0' && *p <= '9')
+                    val = val * 10 + (*p - '0');
                 else { bad = true; break; }
             }
-            if (bad || pi < 2) continue;
-            out[i] = (int32_t)(parts[0] * 3600000 + parts[1] * 60000 +
-                               parts[2] * 1000 + parts[3]);
+            if (bad) continue;
+            if (cnt == 2) parts[2] = val;
+            else if (cnt == 3) parts[3] = val;
+            else continue;
+            int64_t hh = parts[0] & 0xFF, mm = parts[1] & 0xFF,
+                    ss = parts[2] & 0xFF, ms = parts[3] & 0xFFFF;
+            out[i] = (int32_t)(sign * ((hh * 3600 + mm * 60 + ss)
+                                       * 1000 + ms));
         }
     });
 }
 
-// YYYY.MM.DD[D|T]HH:MM:SS[.nnnnnnnnn] -> ns since 2000.01.01
+// Reference timestamp_from_str (timestamp.c:362): ISO when char 4 is
+// '-' (strict YYYY-MM-DD[T hh:mm:ss[.frac]][Z|+hh:mm], frac padded to
+// ns); otherwise up to 7 digit runs y m d h m s nanos with RAW nanos
+// (".5" is 5 ns) and per-field validity.
+inline bool ts_iso(const char *p, const char *e, int64_t *out_ns) {
+    auto dig2 = [&](int64_t *v) {
+        if (e - p < 2 || p[0] < '0' || p[0] > '9' ||
+            p[1] < '0' || p[1] > '9') return false;
+        *v = (p[0] - '0') * 10 + (p[1] - '0');
+        p += 2;
+        return true;
+    };
+    int64_t y = 0, mo, d, hh = 0, mm = 0, ss = 0, ns = 0;
+    for (int i = 0; i < 4; i++) {
+        if (p >= e || *p < '0' || *p > '9') return false;
+        y = y * 10 + (*p++ - '0');
+    }
+    if (p >= e || *p != '-') return false;
+    p++;
+    if (!dig2(&mo) || mo < 1 || mo > 12) return false;
+    if (p >= e || *p != '-') return false;
+    p++;
+    if (!dig2(&d) || d < 1 || d > 31) return false;
+    if (p < e && (*p == 'T' || *p == ' ')) {
+        p++;
+        if (!dig2(&hh) || hh > 23 || p >= e || *p != ':') return false;
+        p++;
+        if (!dig2(&mm) || mm > 59 || p >= e || *p != ':') return false;
+        p++;
+        if (!dig2(&ss) || ss > 59) return false;
+        if (p < e && *p == '.') {
+            p++;
+            int fd = 0;
+            while (p < e && *p >= '0' && *p <= '9' && fd < 9) {
+                ns = ns * 10 + (*p++ - '0');
+                fd++;
+            }
+            for (; fd < 9; fd++) ns *= 10;
+            while (p < e && *p >= '0' && *p <= '9') p++;
+        }
+    }
+    int64_t v = days_from_civil(y, mo, d) * 86400000000000LL +
+                (hh * 3600 + mm * 60 + ss) * 1000000000LL + ns;
+    if (p < e && (*p == '+' || *p == '-')) {
+        bool negz = *p == '-';
+        p++;
+        int64_t zh, zm = 0;
+        if (!dig2(&zh)) return false;
+        if (p < e && *p == ':') p++;
+        if (e - p >= 2 && *p >= '0' && *p <= '9' && !dig2(&zm))
+            return false;
+        int64_t off = zh * 60 + zm;
+        v -= (negz ? -off : off) * 60000000000LL;
+    }
+    *out_ns = v;
+    return true;
+}
+
 void rf_parse_timestamp(const char *buf, int64_t buflen,
                         const int64_t *starts, int64_t nrows, int col,
                         char sep, int64_t *out, int64_t nullv) {
@@ -248,53 +375,62 @@ void rf_parse_timestamp(const char *buf, int64_t buflen,
             const char *fs, *fe;
             out[i] = nullv;
             if (!find_field(buf + starts[i], le, col, sep, &fs, &fe)
-                || fs >= fe)
+                || fs >= le || fs >= fe)
                 continue;
-            // plain integer nanoseconds (the host parser's format)
-            bool iok = false;
-            int64_t iv = parse_int(fs, fe, &iok);
-            if (iok) { out[i] = iv; continue; }
-            if (fe - fs < 10) continue;
-            // split date / time on 'D' or 'T' or ' '
-            const char *mid = fs;
-            while (mid < fe && *mid != 'D' && *mid != 'T' &&
-                   *mid != ' ')
-                mid++;
-            int64_t vals[3] = {0, 0, 0};
-            int part = 0;
-            bool bad = false;
-            for (const char *p = fs; p < mid; p++) {
-                if (*p == '.' || *p == '-') {
-                    if (++part > 2) { bad = true; break; }
-                } else if (*p >= '0' && *p <= '9')
-                    vals[part] = vals[part] * 10 + (*p - '0');
-                else { bad = true; break; }
+            if (fe - fs >= 5 && fs[4] == '-') {
+                int64_t v;
+                if (ts_iso(fs, fe, &v)) out[i] = v;
+                continue;
             }
-            if (bad || part != 2) continue;
-            int64_t days =
-                days_from_civil(vals[0], vals[1], vals[2]);
-            int64_t ns = 0;
-            if (mid < fe) {
-                int64_t t[3] = {0, 0, 0};
-                int64_t frac = 0;
-                int fdig = 0, pi = 0;
-                bool infrac = false;
-                for (const char *p = mid + 1; p < fe; p++) {
-                    if (*p == ':') { if (++pi > 2) break; }
-                    else if (*p == '.' && pi == 2) infrac = true;
-                    else if (*p >= '0' && *p <= '9') {
-                        if (infrac) { frac = frac * 10 + (*p - '0');
-                                      fdig++; }
-                        else t[pi] = t[pi] * 10 + (*p - '0');
-                    }
-                }
-                for (; fdig < 9; fdig++) frac *= 10;
-                ns = ((t[0] * 3600 + t[1] * 60 + t[2]) * 1000000000LL)
-                     + frac;
-            }
-            out[i] = days * 86400000000000LL + ns;
+            int64_t r[7];
+            if (!date_runs(fs, fe, r, 7) || r[2] == INT64_MIN)
+                continue;
+            for (int k = 3; k < 7; k++)
+                if (r[k] == INT64_MIN) r[k] = 0;
+            int64_t y = r[0] & 0xFFFF;
+            if (r[1] < 1 || r[1] > 12 || r[2] < 1 || r[2] > 31 ||
+                r[3] > 23 || r[4] > 59 || r[5] > 59)
+                continue;
+            out[i] = days_from_civil(y, r[1], r[2]) * 86400000000000LL
+                     + (r[3] * 3600 + r[4] * 60 + r[5]) * 1000000000LL
+                     + (r[6] & 0xFFFFFFFFLL);
         }
     });
+}
+
+// Minimum field count over NON-BLANK lines (blank lines parse as
+// all-null rows; a short non-blank line is a length error that the
+// Python fallback raises). Quoted fields never reach this path.
+int64_t rf_min_fields(const char *buf, int64_t buflen,
+                      const int64_t *starts, int64_t nrows, char sep) {
+    std::vector<int64_t> mins(n_workers(), INT64_MAX);
+    unsigned nw = n_workers();
+    int64_t chunk = (nrows + nw - 1) / nw;
+    std::vector<std::thread> ts;
+    for (unsigned w = 0; w < nw; w++) {
+        int64_t lo = (int64_t)w * chunk;
+        int64_t hi = std::min(nrows, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([&, w, lo, hi] {
+            int64_t m = INT64_MAX;
+            for (int64_t i = lo; i < hi; i++) {
+                const char *p = buf + starts[i];
+                const char *le = line_end(buf, buflen, starts[i]);
+                if (p >= le) continue;   // blank line
+                int64_t f = 1;
+                while ((p = (const char *)memchr(p, sep, le - p))) {
+                    f++;
+                    p++;
+                }
+                if (f < m) m = f;
+            }
+            mins[w] = m;
+        });
+    }
+    for (auto &t : ts) t.join();
+    int64_t m = INT64_MAX;
+    for (auto v : mins) m = std::min(m, v);
+    return m;
 }
 
 // (offset, length) of column `col` per row — for strings/symbols

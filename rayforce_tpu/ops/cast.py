@@ -89,13 +89,13 @@ def _vec_num(t: int, ot: int, a: np.ndarray) -> np.ndarray:
     return a.astype(T.DTYPE[t])
 
 
-_INT_RE = re.compile(r"\s*([+-]?\d+)")
-_F64_RE = re.compile(r"\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)")
-_DATE_RE = re.compile(r"\s*(\d{4})\.(\d{2})\.(\d{2})")
-_TIME_RE = re.compile(r"\s*(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,3}))?")
-_TS_RE = re.compile(
-    r"\s*(\d{4})\.(\d{2})\.(\d{2})D"
-    r"(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?")
+# Prefix-parse semantics mirroring the reference's from_str family
+# (string.c i64_from_str/f64_from_str, date.c date_from_str,
+# time.c time_from_str, timestamp.c timestamp_from_str). Sign is '-'
+# ONLY (a '+' prefix parses zero digits -> 0); junk after the numeric
+# prefix is ignored; a field with no digits at all reads as 0.
+_INT_RE = re.compile(r"[ \t\r\n]*(-?\d+)")
+_F64_RE = re.compile(r"[ \t\r\n]*(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)")
 
 
 def _int_from_str(s: str) -> int:
@@ -109,30 +109,98 @@ def _f64_from_str(s: str) -> float:
 
 
 def _date_from_str(s: str) -> int:
-    m = _DATE_RE.match(s)
-    if not m:
+    """Reference date.c date_from_str: three digit runs separated by
+    any non-digit runs; year wraps u16, month 1-12, day 1-31."""
+    runs = re.findall(r"\d+", s)
+    if len(runs) < 3:
         return T.NULL_I32
-    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    y, mo, d = int(runs[0]) & 0xFFFF, int(runs[1]), int(runs[2])
+    if not (1 <= mo <= 12 and 1 <= d <= 31):
+        return T.NULL_I32
     return temporal.days_from_civil(y, mo, d)
 
 
 def _time_from_str(s: str) -> int:
-    m = _TIME_RE.match(s)
-    if not m:
+    """Reference time.c time_from_str: '-' anywhere flips sign,
+    ':'/'.' both advance the field, other non-digits -> null; needs
+    h:m:s or h:m:s.ms; h/m/s wrap u8, ms wraps u16 and is RAW
+    (".5" is 5 milliseconds, not 500)."""
+    sign, cnt, val = 1, 0, 0
+    parts = [0, 0, 0, 0]
+    for ch in s:
+        if ch == "-":
+            sign = -1
+        elif ch in ":.":
+            if cnt > 2:
+                return T.NULL_I32
+            parts[cnt] = val
+            cnt += 1
+            val = 0
+        elif ch.isdigit():
+            val = val * 10 + int(ch)
+        else:
+            return T.NULL_I32
+    if cnt == 2:
+        parts[2] = val
+    elif cnt == 3:
+        parts[3] = val
+    else:
         return T.NULL_I32
-    ms = int((m.group(4) or "0").ljust(3, "0"))
-    return temporal.make_time_ms(1, int(m.group(1)), int(m.group(2)),
-                                 int(m.group(3)), ms)
+    hh, mm, ss = parts[0] & 0xFF, parts[1] & 0xFF, parts[2] & 0xFF
+    ms = parts[3] & 0xFFFF
+    return sign * ((hh * 3600 + mm * 60 + ss) * 1000 + ms)
+
+
+_NS_IN_DAY = 86_400_000_000_000
 
 
 def _ts_from_str(s: str) -> int:
-    m = _TS_RE.match(s)
+    """Reference timestamp.c timestamp_from_str: ISO when char 4 is
+    '-', else digit runs y.m.d[.h.m.s.nanos] with RAW nanos (".5" is
+    5 ns); ISO pads fractional digits to 9 and applies Z/+hh:mm."""
+    if len(s) >= 5 and s[4] == "-":
+        return _ts_from_iso(s)
+    runs = re.findall(r"\d+", s)
+    if len(runs) < 3:
+        return T.NULL_I64
+    vals = [int(r) for r in runs[:7]] + [0] * (7 - min(len(runs), 7))
+    y, mo, d, hh, mm, ss, ns = vals
+    y &= 0xFFFF
+    if not (1 <= mo <= 12 and 1 <= d <= 31 and hh <= 23
+            and mm <= 59 and ss <= 59):
+        return T.NULL_I64
+    days = temporal.days_from_civil(y, mo, d)
+    return days * _NS_IN_DAY \
+        + (hh * 3600 + mm * 60 + ss) * 1_000_000_000 + (ns & 0xFFFFFFFF)
+
+
+_ISO_RE = re.compile(
+    r"(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[T ](\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?"
+    r"(?:[Zz]|([+-])(\d{2}):?(\d{2})?)?)?")
+
+
+def _ts_from_iso(s: str) -> int:
+    m = _ISO_RE.match(s)
     if not m:
         return T.NULL_I64
-    ns = int((m.group(7) or "0").ljust(9, "0"))
-    return temporal.make_ts_ns(int(m.group(1)), int(m.group(2)),
-                               int(m.group(3)), int(m.group(4)),
-                               int(m.group(5)), int(m.group(6)), ns)
+    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not (1 <= mo <= 12 and 1 <= d <= 31):
+        return T.NULL_I64
+    hh = int(m.group(4) or 0)
+    mm = int(m.group(5) or 0)
+    ss = int(m.group(6) or 0)
+    if hh > 23 or mm > 59 or ss > 59:
+        return T.NULL_I64
+    ns = int((m.group(7) or "0")[:9].ljust(9, "0"))
+    v = temporal.days_from_civil(y, mo, d) * _NS_IN_DAY \
+        + (hh * 3600 + mm * 60 + ss) * 1_000_000_000 + ns
+    if m.group(8):
+        off = int(m.group(9)) * 60 + int(m.group(10) or 0)
+        if m.group(8) == "-":
+            off = -off
+        v -= off * 60 * 1_000_000_000
+    return v
 
 
 def _guid_from_str(s: str) -> np.ndarray:

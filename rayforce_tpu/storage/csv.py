@@ -17,55 +17,96 @@ from ..core.errors import RayError, err_type, err_value
 
 
 def _parse_col(vals: list, t: int) -> Obj:
+    """Column conversion with the reference's null rule
+    (parse_csv_line, io.c:473-532): a MISSING field (one that starts
+    at line end — vals holds None) is a typed null, while an EMPTY
+    field followed by a separator is a zero-length span that parses as
+    a zero value (0 / 0.0 / false); temporal parses are lenient
+    digit-run reads that yield nulls on malformed input."""
     n = len(vals)
     if t == T.SYMBOL:
-        ids = np.fromiter((symbols.intern(v) for v in vals),
-                          dtype=np.int64, count=n)
+        # both the missing and the empty field intern to the null
+        # symbol (io.c:440-450: NULL span -> id 0 == 0Ns)
+        ids = np.fromiter(
+            (symbols.intern(v) if v else T.NULL_I64 for v in vals),
+            dtype=np.int64, count=n)
         return Obj(T.SYMBOL, ids)
     if t == T.C8:
         from ..core.obj import list_
-        return list_([string(v) for v in vals])
+        return list_([string(v or "") for v in vals])
     if t == T.F64:
+        from ..ops.cast import _f64_from_str
         out = np.empty(n, dtype=np.float64)
         for i, v in enumerate(vals):
-            out[i] = float(v) if v else T.NULL_F64
+            # strtod-prefix semantics: "0Nf" in a CSV cell reads 0.0
+            # (f64_from_str); only a MISSING cell is null
+            out[i] = T.NULL_F64 if v is None else _f64_from_str(v)
         return Obj(T.F64, out)
-    if t in (T.I16, T.I32, T.I64, T.U8, T.B8):
+    if t == T.B8:
+        # b8_from_str (string.c:108): "true"/"True"/"TRUE" prefix is
+        # true, anything else (including missing) is false
+        out = np.fromiter(
+            (1 if v is not None and v[:4] in ("true", "True", "TRUE")
+             else 0 for v in vals), dtype=np.int8, count=n)
+        return Obj(T.B8, out)
+    if t in (T.I16, T.I32, T.I64, T.U8):
+        from ..ops.cast import _int_from_str
         out = np.empty(n, dtype=T.DTYPE[t])
         nullv = T.NULL_BY_TYPE.get(t, 0)
         for i, v in enumerate(vals):
-            out[i] = int(v) if v else nullv
+            out[i] = nullv if v is None \
+                else np.int64(_int_from_str(v)).astype(T.DTYPE[t])
         return Obj(t, out)
     if t == T.DATE:
+        from ..ops.cast import _date_from_str
         out = np.empty(n, dtype=np.int32)
         for i, v in enumerate(vals):
-            if not v:
-                out[i] = T.NULL_I32
-            else:
-                p = v.replace("-", ".").split(".")
-                out[i] = temporal.days_from_civil(int(p[0]), int(p[1]),
-                                                  int(p[2]))
+            out[i] = T.NULL_I32 if not v else _date_from_str(v)
         return Obj(T.DATE, out)
     if t == T.TIME:
+        from ..ops.cast import _time_from_str
         out = np.empty(n, dtype=np.int32)
         for i, v in enumerate(vals):
-            if not v:
-                out[i] = T.NULL_I32
-                continue
-            hh, mm, rest = v.split(":")
-            if "." in rest:
-                ss, ms = rest.split(".")
-            else:
-                ss, ms = rest, "0"
-            out[i] = temporal.make_time_ms(1, int(hh), int(mm), int(ss),
-                                           int(ms.ljust(3, "0")[:3]))
+            out[i] = T.NULL_I32 if not v else _time_from_str(v)
         return Obj(T.TIME, out)
     if t == T.TIMESTAMP:
+        from ..ops.cast import _ts_from_str
         out = np.empty(n, dtype=np.int64)
         for i, v in enumerate(vals):
-            out[i] = T.NULL_I64 if not v else int(v)
+            out[i] = T.NULL_I64 if not v else _ts_from_str(v)
         return Obj(T.TIMESTAMP, out)
     raise err_type(f"read-csv: unsupported column type {t}")
+
+
+def _split_line(line: str, sep: str):
+    """Field split with the reference's quote rule (io.c:491-505): a
+    field STARTING with '\"' runs to the next '\"' (no doubled-quote
+    escapes), then the separator follows. Returns (fields,
+    last_quoted) — a quoted empty last field is a real zero-length
+    span, not a missing field."""
+    out = []
+    i = 0
+    n = len(line)
+    lastq = False
+    while i <= n:
+        if i < n and line[i] == '"':
+            j = line.find('"', i + 1)
+            if j < 0:
+                raise RayError("length", "read-csv: unterminated quote")
+            out.append(line[i + 1:j])
+            lastq = True
+            i = j + 2   # skip quote and separator
+            if i > n:
+                break
+        else:
+            j = line.find(sep, i)
+            lastq = False
+            if j < 0:
+                out.append(line[i:])
+                break
+            out.append(line[i:j])
+            i = j + 1
+    return out, lastq
 
 
 def _read_csv_native(tcodes, path: str, sep: str):
@@ -83,6 +124,8 @@ def _read_csv_native(tcodes, path: str, sep: str):
         return None
     with open(path, "rb") as f:
         data = f.read()
+    if b'"' in data:
+        return None   # quoted fields: the Python _split_line path
     nc = NativeCsv(data, sep)
     if nc.n_rows == 0:
         return None
@@ -92,9 +135,13 @@ def _read_csv_native(tcodes, path: str, sep: str):
     if len(tcodes) != len(header):
         raise RayError("length", "read-csv type count mismatch")
     nc.slice_rows(1, nc.n_rows)   # drop the header line
+    if nc.n_rows and nc.min_fields() < len(tcodes):
+        return None   # short line: the Python path raises err_length
     cols = []
     for i, t in enumerate(tcodes):
-        if t in (T.I16, T.I32, T.I64, T.U8, T.B8):
+        if t == T.B8:
+            cols.append(Obj(T.B8, nc.col_b8(i)))
+        elif t in (T.I16, T.I32, T.I64, T.U8):
             nullv = int(T.NULL_BY_TYPE.get(t, 0))
             a = nc.col_i64(i, nullv)
             cols.append(Obj(t, a.astype(T.DTYPE[t])))
@@ -111,8 +158,10 @@ def _read_csv_native(tcodes, path: str, sep: str):
                             nc.col_timestamp(i, int(T.NULL_I64))))
         elif t == T.SYMBOL:
             strs, inv = nc.col_strings(i)
-            ids = np.fromiter((symbols.intern(s) for s in strs),
-                              dtype=np.int64, count=len(strs))
+            # empty field -> NULL symbol (matches _parse_col)
+            ids = np.fromiter(
+                (symbols.intern(s) if s else T.NULL_I64 for s in strs),
+                dtype=np.int64, count=len(strs))
             cols.append(Obj(T.SYMBOL, ids[inv]))
         else:  # C8
             cols.append(list_([string(b) for b in nc.col_raw(i)]))
@@ -141,11 +190,28 @@ def read_csv(types_o: Obj, path: str, sep: str = ",") -> Obj:
         pass  # fall back to the Python parser
     with open(path, "r", newline="") as f:
         header = f.readline().rstrip("\r\n").split(sep)
+        ncols = len(header)
         raw_cols: list[list] = [[] for _ in header]
         for line in f:
-            parts = line.rstrip("\r\n").split(sep)
-            for i, p in enumerate(parts[:len(raw_cols)]):
-                raw_cols[i].append(p)
+            line = line.rstrip("\r\n")
+            if not line:
+                # blank line: every field is missing -> a null row
+                # (parse_csv_line len==0 branch per field)
+                for col in raw_cols:
+                    col.append(None)
+                continue
+            if '"' in line:
+                parts, lastq = _split_line(line, sep)
+            else:
+                parts, lastq = line.split(sep), False
+            if len(parts) < ncols:
+                # a non-last field with no following separator is a
+                # length error in the reference (io.c:520-523)
+                raise RayError("length", "read-csv: short line")
+            if len(parts) == ncols and parts[-1] == "" and not lastq:
+                parts[-1] = None   # field starting at line end: null
+            for i in range(ncols):
+                raw_cols[i].append(parts[i])
     if len(tcodes) != len(header):
         raise RayError("length", "read-csv type count mismatch")
     cols = [_parse_col(raw_cols[i], tcodes[i]) for i in range(len(header))]

@@ -86,6 +86,14 @@ def lib():
     L.rf_parse_timestamp.argtypes = [c_char_p, i64, p_i64, i64,
                                      ctypes.c_int, ctypes.c_char,
                                      p_i64, i64]
+    L.rf_parse_b8.restype = None
+    L.rf_parse_b8.argtypes = [c_char_p, i64, p_i64, i64,
+                              ctypes.c_int, ctypes.c_char,
+                              np.ctypeslib.ndpointer(
+                                  np.int8, flags="C_CONTIGUOUS")]
+    L.rf_min_fields.restype = i64
+    L.rf_min_fields.argtypes = [c_char_p, i64, p_i64, i64,
+                                ctypes.c_char]
     L.rf_field_spans.restype = None
     L.rf_field_spans.argtypes = [c_char_p, i64, p_i64, i64,
                                  ctypes.c_int, ctypes.c_char, p_i64,
@@ -127,6 +135,18 @@ class NativeCsv:
         self.L.rf_parse_i64(self.data, len(self.data), self.starts,
                             self.n_rows, col, self.sep, out, nullv)
         return out
+
+    def col_b8(self, col: int) -> np.ndarray:
+        out = np.empty(self.n_rows, dtype=np.int8)
+        self.L.rf_parse_b8(self.data, len(self.data), self.starts,
+                           self.n_rows, col, self.sep, out)
+        return out
+
+    def min_fields(self) -> int:
+        """Minimum field count over non-blank data lines."""
+        return int(self.L.rf_min_fields(self.data, len(self.data),
+                                        self.starts, self.n_rows,
+                                        self.sep))
 
     def col_f64(self, col: int) -> np.ndarray:
         out = np.empty(self.n_rows, dtype=np.float64)
