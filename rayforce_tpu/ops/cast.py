@@ -204,11 +204,14 @@ def _ts_from_iso(s: str) -> int:
 
 
 def _guid_from_str(s: str) -> np.ndarray:
+    """Reference guid_from_str (string.c:381): exactly 36 chars,
+    '-' skipped wherever it appears, remaining chars must be hex."""
     z = np.zeros(16, dtype=np.uint8)
-    if len(s) != 36 or s[8] != "-" or s[13] != "-" or s[18] != "-" \
-            or s[23] != "-":
+    if len(s) != 36:
         return z
     hx = s.replace("-", "")
+    if len(hx) != 32:
+        return z
     try:
         return np.frombuffer(bytes.fromhex(hx), dtype=np.uint8).copy()
     except ValueError:

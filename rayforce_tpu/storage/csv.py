@@ -75,6 +75,13 @@ def _parse_col(vals: list, t: int) -> Obj:
         for i, v in enumerate(vals):
             out[i] = T.NULL_I64 if not v else _ts_from_str(v)
         return Obj(T.TIMESTAMP, out)
+    if t == T.GUID:
+        from ..ops.cast import _guid_from_str
+        out = np.zeros((n, 16), dtype=np.uint8)
+        for i, v in enumerate(vals):
+            if v:   # missing/malformed -> NULL_GUID (all zeros)
+                out[i] = _guid_from_str(v)
+        return Obj(T.GUID, out)
     raise err_type(f"read-csv: unsupported column type {t}")
 
 
