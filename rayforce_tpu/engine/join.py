@@ -39,6 +39,12 @@ _PACKABLE = (T.B8, T.U8, T.I16, T.I32, T.I64, T.DATE, T.TIME,
 _DEV_COL_OK_SORT = _PACKABLE + (T.F64, T.ENUM)
 _kernel_cache: dict = {}
 
+# Which join engine ran last ("device-sortmerge" | "dist-eq" |
+# "dist-bcast-probe" | "dist-asof") — bench.py records it per query so
+# the artifact shows WHAT was measured (the reference's bench harness
+# records comparable provenance, bench/main.c:366-415).
+last_profile: dict = {}
+
 
 def _key_ranges(lkeys, rkeys):
     """Joint (lo, rng, nullable) per key pair from cached column
@@ -185,6 +191,8 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
             # build+probe, index.c:2886-2998, build side partitioned)
             rids = _mesh_eq(m, lcode, rcode, n_l, n_r)
             if rids is not None:
+                last_profile.clear()
+                last_profile["engine"] = "dist-eq"
                 return rids
         # broadcast-build probe fanned over the chips — the
         # row-sharded left side probes a replicated right key column
@@ -201,6 +209,8 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
         rid, has = dist.dist_left_probe(m)(lp, rcode)
         rid = jnp.asarray(rid).reshape(-1)[:n_l]
         has = jnp.asarray(has).reshape(-1)[:n_l]
+        last_profile.clear()
+        last_profile["engine"] = "dist-bcast-probe"
         return jnp.where(has, rid, jnp.int64(T.NULL_I64))
     if m is not None and mode == "asof" and lkeys:
         code_bound = 1
@@ -209,6 +219,8 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
         rids = _mesh_asof(m, lcode, rcode, ltime, rtime, n_l, n_r,
                           code_bound)
         if rids is not None:
+            last_profile.clear()
+            last_profile["engine"] = "dist-asof"
             return rids
     code_bits = None
     if ltime is None and lkeys:
@@ -230,6 +242,8 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
                 code_bits = cb
     f = _match_kernel(n_l, n_r, mode, ltime is not None,
                       code_bits=code_bits)
+    last_profile.clear()
+    last_profile["engine"] = "device-sortmerge"
     if ltime is not None:
         return f(lcode, rcode, dev.dev_col(ltime), dev.dev_col(rtime))
     return f(lcode, rcode)
