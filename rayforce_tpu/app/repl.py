@@ -7,6 +7,7 @@ unbalanced. The IPC server (if any) is pumped between reads.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 from ..core import types as T
@@ -15,14 +16,13 @@ from ..core.errors import RayError, err_msg
 
 
 def _completer_factory(rt):
+    """readline-protocol completer over the shared candidate set
+    (builtins + globals + table columns + query keywords; reference
+    env.c:475-547 name enumeration)."""
+    from .term import completions
+
     def complete(text, state):
-        cands = [n for n in rt.env.builtins if n.startswith(text)]
-        from ..core import symbols as S
-        for sid in rt.interp.globals:
-            n = S.name_of(sid)
-            if n.startswith(text):
-                cands.append(n)
-        cands = sorted(set(cands))
+        cands = completions(rt, text)
         return cands[state] if state < len(cands) else None
     return complete
 
@@ -50,13 +50,28 @@ def _balanced(src: str) -> bool:
 
 
 def repl(rt, server=None):
-    try:
-        import readline
-        readline.set_completer(_completer_factory(rt))
-        readline.set_completer_delims(" \t\n()[]{}\"'")
-        readline.parse_and_bind("tab: complete")
-    except ImportError:
-        pass
+    # the raw-mode editor (app/term.py, the reference's term.c) drives
+    # real TTYs; piped stdin falls back to plain input(); readline (if
+    # importable) backs input() history for the non-TTY path
+    editor = None
+    if sys.stdin.isatty() and sys.stdout.isatty():
+        try:
+            from .term import LineEditor, interactive_readline, \
+                completions
+            editor = LineEditor(
+                completer=lambda text: completions(rt, text),
+                history_path=os.path.expanduser(
+                    "~/.rayforce_tpu_history"))
+        except Exception:
+            editor = None
+    if editor is None:
+        try:
+            import readline
+            readline.set_completer(_completer_factory(rt))
+            readline.set_completer_delims(" \t\n()[]{}\"'")
+            readline.parse_and_bind("tab: complete")
+        except ImportError:
+            pass
     print("rayforce-tpu; (exit 0) to quit", file=sys.stderr)
     buf = ""
     while True:
@@ -64,7 +79,13 @@ def repl(rt, server=None):
             if server is not None:
                 server.run_once(0)
             prompt = "❯ " if not buf else "… "
-            line = input(prompt)
+            if editor is not None:
+                line = interactive_readline(editor, prompt)
+                if line is None:
+                    print()
+                    return
+            else:
+                line = input(prompt)
         except EOFError:
             print()
             return
