@@ -45,18 +45,49 @@ void parallel_rows(int64_t n, F fn) {
     for (auto &t : ts) t.join();
 }
 
-// locate column `col` within line [p, end); returns [fs, fe)
-inline bool find_field(const char *p, const char *end, int col,
-                       char sep, const char **fs, const char **fe) {
-    for (int c = 0; c < col; c++) {
-        const char *q = (const char *)memchr(p, sep, end - p);
-        if (!q) return false;
-        p = q + 1;
+// Quote-aware field walk (reference parse_csv_line, io.c:473-532): a
+// field STARTING with '"' runs to the next '"' (no doubled-quote
+// escapes), then quote+separator are skipped unverified (the
+// reference's pos += 2). Returns 1 = field found ([fs,fe) and *quoted
+// set), 0 = line exhausted before column `col`, -1 = unterminated
+// quote (err_length in the reference).
+inline int find_field(const char *p, const char *end, int col,
+                      char sep, const char **fs, const char **fe,
+                      bool *quoted) {
+    for (int c = 0; ; c++) {
+        if (p > end) return 0;
+        bool q = p < end && *p == '"';
+        const char *s, *e2;
+        if (q) {
+            const char *cq =
+                (const char *)memchr(p + 1, '"', end - p - 1);
+            if (!cq) return -1;
+            s = p + 1;
+            e2 = cq;
+            p = cq + 2;
+        } else {
+            s = p;
+            const char *sp = (const char *)memchr(p, sep, end - p);
+            e2 = sp ? sp : end;
+            p = e2 + 1;
+        }
+        if (c == col) {
+            *fs = s;
+            *fe = e2;
+            *quoted = q;
+            return 1;
+        }
     }
-    const char *q = (const char *)memchr(p, sep, end - p);
-    *fs = p;
-    *fe = q ? q : end;
-    return true;
+}
+
+// A field is MISSING (typed null) only when the line is exhausted or
+// an unquoted field starts at line end; a quoted empty field is a
+// real zero-length span (parses as 0).
+inline bool field_at(const char *p, const char *end, int col, char sep,
+                     const char **fs, const char **fe) {
+    bool q = false;
+    int st = find_field(p, end, col, sep, fs, fe, &q);
+    return st == 1 && (q || *fs < end);
 }
 
 inline const char *line_end(const char *buf, int64_t buflen,
@@ -186,8 +217,7 @@ void rf_parse_i64(const char *buf, int64_t buflen,
         for (int64_t i = lo; i < hi; i++) {
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
-            bool ok = find_field(buf + starts[i], le, col, sep,
-                                 &fs, &fe) && fs < le;
+            bool ok = field_at(buf + starts[i], le, col, sep, &fs, &fe);
             out[i] = ok ? parse_int(fs, fe, nullptr) : nullv;
         }
     });
@@ -200,8 +230,7 @@ void rf_parse_f64(const char *buf, int64_t buflen,
         for (int64_t i = lo; i < hi; i++) {
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
-            bool ok = find_field(buf + starts[i], le, col, sep,
-                                 &fs, &fe) && fs < le;
+            bool ok = field_at(buf + starts[i], le, col, sep, &fs, &fe);
             out[i] = ok ? parse_f64(fs, fe, nullptr) : NAN;
         }
     });
@@ -217,7 +246,7 @@ void rf_parse_b8(const char *buf, int64_t buflen,
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
             int8_t v = 0;
-            if (find_field(buf + starts[i], le, col, sep, &fs, &fe)
+            if (field_at(buf + starts[i], le, col, sep, &fs, &fe)
                 && fe - fs >= 4 &&
                 (memcmp(fs, "true", 4) == 0 ||
                  memcmp(fs, "True", 4) == 0 ||
@@ -255,8 +284,8 @@ void rf_parse_date(const char *buf, int64_t buflen,
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
             out[i] = nullv;
-            if (!find_field(buf + starts[i], le, col, sep, &fs, &fe)
-                || fs >= le || fs >= fe)
+            if (!field_at(buf + starts[i], le, col, sep, &fs, &fe)
+                || fs >= fe)
                 continue;
             int64_t v[3];
             if (!date_runs(fs, fe, v, 3) || v[2] == INT64_MIN)
@@ -280,8 +309,7 @@ void rf_parse_time(const char *buf, int64_t buflen,
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
             out[i] = nullv;
-            if (!find_field(buf + starts[i], le, col, sep, &fs, &fe)
-                || fs >= le)
+            if (!field_at(buf + starts[i], le, col, sep, &fs, &fe))
                 continue;
             int64_t parts[4] = {0, 0, 0, 0}, val = 0;
             int cnt = 0, sign = 1;
@@ -374,8 +402,8 @@ void rf_parse_timestamp(const char *buf, int64_t buflen,
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
             out[i] = nullv;
-            if (!find_field(buf + starts[i], le, col, sep, &fs, &fe)
-                || fs >= le || fs >= fe)
+            if (!field_at(buf + starts[i], le, col, sep, &fs, &fe)
+                || fs >= fe)
                 continue;
             if (fe - fs >= 5 && fs[4] == '-') {
                 int64_t v;
@@ -400,7 +428,9 @@ void rf_parse_timestamp(const char *buf, int64_t buflen,
 
 // Minimum field count over NON-BLANK lines (blank lines parse as
 // all-null rows; a short non-blank line is a length error that the
-// Python fallback raises). Quoted fields never reach this path.
+// Python fallback raises). Quote-aware: separators inside quoted
+// fields don't split; returns -1 when any line has an unterminated
+// quote (err_length in the reference, io.c:496-499).
 int64_t rf_min_fields(const char *buf, int64_t buflen,
                       const int64_t *starts, int64_t nrows, char sep) {
     std::vector<int64_t> mins(n_workers(), INT64_MAX);
@@ -417,11 +447,21 @@ int64_t rf_min_fields(const char *buf, int64_t buflen,
                 const char *p = buf + starts[i];
                 const char *le = line_end(buf, buflen, starts[i]);
                 if (p >= le) continue;   // blank line
-                int64_t f = 1;
-                while ((p = (const char *)memchr(p, sep, le - p))) {
+                int64_t f = 0;
+                while (p <= le) {
+                    if (p < le && *p == '"') {
+                        const char *cq = (const char *)memchr(
+                            p + 1, '"', le - p - 1);
+                        if (!cq) { m = -1; break; }
+                        p = cq + 2;
+                    } else {
+                        const char *sp = (const char *)memchr(
+                            p, sep, le - p);
+                        p = (sp ? sp : le) + 1;
+                    }
                     f++;
-                    p++;
                 }
+                if (m == -1) break;
                 if (f < m) m = f;
             }
             mins[w] = m;
@@ -429,7 +469,10 @@ int64_t rf_min_fields(const char *buf, int64_t buflen,
     }
     for (auto &t : ts) t.join();
     int64_t m = INT64_MAX;
-    for (auto v : mins) m = std::min(m, v);
+    for (auto v : mins) {
+        if (v == -1) return -1;
+        m = std::min(m, v);
+    }
     return m;
 }
 
@@ -441,7 +484,9 @@ void rf_field_spans(const char *buf, int64_t buflen,
         for (int64_t i = lo; i < hi; i++) {
             const char *le = line_end(buf, buflen, starts[i]);
             const char *fs, *fe;
-            if (find_field(buf + starts[i], le, col, sep, &fs, &fe)) {
+            bool q;
+            if (find_field(buf + starts[i], le, col, sep, &fs, &fe,
+                           &q) == 1) {
                 off[i] = fs - buf;
                 len[i] = (int32_t)(fe - fs);
             } else {

@@ -131,8 +131,6 @@ def _read_csv_native(tcodes, path: str, sep: str):
         return None
     with open(path, "rb") as f:
         data = f.read()
-    if b'"' in data:
-        return None   # quoted fields: the Python _split_line path
     nc = NativeCsv(data, sep)
     if nc.n_rows == 0:
         return None
@@ -142,8 +140,12 @@ def _read_csv_native(tcodes, path: str, sep: str):
     if len(tcodes) != len(header):
         raise RayError("length", "read-csv type count mismatch")
     nc.slice_rows(1, nc.n_rows)   # drop the header line
-    if nc.n_rows and nc.min_fields() < len(tcodes):
-        return None   # short line: the Python path raises err_length
+    if nc.n_rows:
+        mf = nc.min_fields()
+        if mf < 0 or mf < len(tcodes):
+            # unterminated quote / short line: the Python path raises
+            # the reference's err_length (io.c:496-499, 520-523)
+            return None
     cols = []
     for i, t in enumerate(tcodes):
         if t == T.B8:
@@ -175,7 +177,13 @@ def _read_csv_native(tcodes, path: str, sep: str):
     return table(vec_sym(header), cols)
 
 
+# Which parser produced the last read-csv result ("native" |
+# "python") — provenance for tests and the -t profiler.
+last_engine: str = ""
+
+
 def read_csv(types_o: Obj, path: str, sep: str = ",") -> Obj:
+    global last_engine
     from ..ops.cast import NAME2TYPE
     if types_o.t != T.SYMBOL:
         raise err_type("read-csv needs a type vector")
@@ -190,11 +198,13 @@ def read_csv(types_o: Obj, path: str, sep: str = ",") -> Obj:
     try:
         fast = _read_csv_native(tcodes, path, sep)
         if fast is not None:
+            last_engine = "native"
             return fast
     except RayError:
         raise
     except Exception:
         pass  # fall back to the Python parser
+    last_engine = "python"
     with open(path, "r", newline="") as f:
         header = f.readline().rstrip("\r\n").split(sep)
         ncols = len(header)

@@ -194,3 +194,95 @@ def test_splayed_sym_reenumeration_merge(rt, tmp):
     col = r1.v[1][0]
     from rayforce_tpu.core.fmt import format_top as fmt2
     assert "aa" in fmt2(col) and "bb" in fmt2(col)
+
+
+# ---- quoted CSV through the NATIVE parallel path (io.c:491-505) ----
+
+def _native_available():
+    from rayforce_tpu.storage.native import lib
+    return lib() is not None
+
+
+QUOTED_CSV = (
+    "i,f,s,c\n"                       # header
+    '1,"1.5","a,b","x,y"\n'           # separators inside quotes
+    '"2",2.5,plain,""\n'              # quoted int; quoted empty C8
+    '"-3","","q""tail",zz\n'          # quoted empty f64 -> 0.0 (span,
+    "4,4.5,sym,\n"                    #  not null); unquoted empty last
+)                                     #  field -> missing
+
+
+def test_csv_quoted_native_path(rt, tmp):
+    """Quoted fixtures must parse through the PARALLEL native path
+    (no Python fallback) and agree with the Python reference parser
+    field-for-field (reference quote rule io.c:491-505: field starting
+    with '\"' runs to the next '\"', no doubled-quote escapes)."""
+    if not _native_available():
+        pytest.skip("native lib unavailable")
+    from rayforce_tpu.storage import csv as csvmod
+    p = os.path.join(tmp, "q.csv")
+    with open(p, "w") as f:
+        f.write(QUOTED_CSV)
+    out = rt.eval_str(f'(read-csv [i64 f64 symbol c8] "{p}")')
+    assert csvmod.last_engine == "native", csvmod.last_engine
+    native_fmt = rt.format_result(out)
+    # force the Python parser and compare formatted output
+    import rayforce_tpu.storage.csv as C
+    orig = C._read_csv_native
+    C._read_csv_native = lambda *a, **k: None
+    try:
+        out2 = rt.eval_str(f'(read-csv [i64 f64 symbol c8] "{p}")')
+        assert csvmod.last_engine == "python"
+    finally:
+        C._read_csv_native = orig
+    assert native_fmt == rt.format_result(out2)
+    # spot-check the pinned semantics
+    assert rt.format_result(rt.eval_str(
+        f'(at (read-csv [i64 f64 symbol c8] "{p}") \'i)')) \
+        == "[1 2 -3 4]"
+    # quoted empty f64 is a zero-length SPAN (0.0), not a null
+    f = rt.eval_str(f'(at (read-csv [i64 f64 symbol c8] "{p}") \'f)')
+    assert rt.format_result(f) == "[1.50 2.50 0.00 4.50]"
+
+
+def test_csv_quoted_native_temporal(rt, tmp):
+    """Quoted date/time/timestamp fields ride the native path."""
+    if not _native_available():
+        pytest.skip("native lib unavailable")
+    from rayforce_tpu.storage import csv as csvmod
+    p = os.path.join(tmp, "qt.csv")
+    with open(p, "w") as f:
+        f.write('d,t,ts\n"2024.03.20","09:30:00.000",'
+                '"2024-03-20T09:30:00"\n'
+                '2024.03.21,10:00:00.000,2024-03-21T10:00:00\n')
+    out = rt.eval_str(f'(read-csv [date time timestamp] "{p}")')
+    assert csvmod.last_engine == "native"
+    s = rt.format_result(out)
+    assert "2024.03.20" in s and "2024.03.21" in s
+    assert "09:30:00.000" in s
+
+
+def test_csv_unterminated_quote_errors(rt, tmp):
+    """Unterminated quote = err_length (io.c:496-499) on BOTH paths;
+    the native scanner detects it via rf_min_fields -1."""
+    from rayforce_tpu.core.errors import RayError
+    p = os.path.join(tmp, "bad.csv")
+    with open(p, "w") as f:
+        f.write('a,b\n1,"oops\n2,3\n')
+    with pytest.raises(RayError):
+        rt.eval_str(f'(read-csv [i64 i64] "{p}")')
+
+
+def test_csv_quoted_not_ragged(rt, tmp):
+    """Separators inside quotes must not trip the ragged-line gate
+    (quote-aware rf_min_fields)."""
+    if not _native_available():
+        pytest.skip("native lib unavailable")
+    from rayforce_tpu.storage import csv as csvmod
+    p = os.path.join(tmp, "qr.csv")
+    with open(p, "w") as f:
+        f.write('a,s\n1,"x,y,z,w"\n2,plain\n')
+    out = rt.eval_str(f'(read-csv [i64 symbol] "{p}")')
+    assert csvmod.last_engine == "native"
+    assert rt.format_result(rt.eval_str(
+        f'(at (read-csv [i64 symbol] "{p}") \'a)')) == "[1 2]"
