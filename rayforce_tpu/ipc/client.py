@@ -62,8 +62,11 @@ def hopen(registry: HandleRegistry, spec: str, timeout=None) -> int:
         try:
             sock = socket.create_connection((host, int(port)),
                                             timeout=timeout)
-            # version handshake
-            sock.sendall(bytes([proto.VERSION]))
+            # version handshake: NUL-terminated version bytes, server
+            # replies one byte (reference ipc_open sends {VERSION, 0},
+            # ipc.c:230-245; server scans to the trailing '\0',
+            # ipc_read_handshake ipc.c:282-316)
+            sock.sendall(bytes([proto.VERSION, 0]))
             proto.read_exact(sock, 1)
             sock.settimeout(None)
         except OSError as e:

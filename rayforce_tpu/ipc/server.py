@@ -62,9 +62,21 @@ class IpcServer:
 
     def _accept(self, sock):
         conn, _addr = sock.accept()
-        # version handshake (ipc.c:231-245)
-        v = conn.recv(1)
-        if not v:
+        # version handshake (ipc_read_handshake, ipc.c:282-316): the
+        # client's handshake is version bytes TERMINATED BY '\0' —
+        # consume through the NUL (a stray terminator left in the
+        # stream would misalign the first frame header), reply 1 byte
+        try:
+            conn.settimeout(5.0)
+            hs = b""
+            while not hs.endswith(b"\0") and len(hs) < 16:
+                b = conn.recv(1)
+                if not b:
+                    conn.close()
+                    return
+                hs += b
+            conn.settimeout(None)
+        except OSError:
             conn.close()
             return
         conn.sendall(bytes([proto.VERSION]))

