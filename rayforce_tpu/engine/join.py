@@ -401,22 +401,28 @@ def _mesh_eq(m, lcode, rcode, n_l, n_r):
     rows_l = (n_l + n_dev - 1) // n_dev
     rows_r = (n_r + n_dev - 1) // n_dev
     caps = [max(2 * rows_l // n_dev, 64),
-            max(2 * rows_r // n_dev, 64)]
+            max(2 * rows_r // n_dev, 64),
+            max(2 * rows_l // n_dev, 64)]
     while True:
-        key = (id(m), n_l, caps[0], caps[1], rows_l, rows_r)
+        key = (id(m), n_l, caps[0], caps[1], caps[2], rows_l, rows_r)
         f = _mesh_eq_cache.get(key)
         if f is None:
-            f = dist.dist_eq_probe(m, n_l, caps[0], caps[1])
+            f = dist.dist_eq_probe(m, n_l, caps[0], caps[1],
+                                   cap_b=caps[2])
             _mesh_eq_cache[key] = f
-        ovf_l, ovf_r, rid, has = f(lp, rp)
+        ovf_l, ovf_r, ovf_b, rid, has = f(lp, rp)
         o_l = int(np.asarray(ovf_l)[0])
         o_r = int(np.asarray(ovf_r)[0])
-        if o_l == 0 and o_r == 0:
-            return jnp.where(has, rid, jnp.int64(T.NULL_I64))
+        o_b = int(np.asarray(ovf_b)[0])
+        if o_l == 0 and o_r == 0 and o_b == 0:
+            return jnp.where(has, rid,
+                             jnp.int64(T.NULL_I64))[:n_l]
         if o_l:
             caps[0] *= 2
         if o_r:
             caps[1] *= 2
+        if o_b:
+            caps[2] = min(caps[2] * 2, rows_l)
 
 
 def _mesh_asof(m, lcode, rcode, ltime, rtime, n_l, n_r,

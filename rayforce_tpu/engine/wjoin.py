@@ -547,23 +547,28 @@ _mesh_wj_cache: dict = {}
 last_profile: dict = {}   # {"engine": "dist-wjoin" | "device-wjoin"}
 
 
-def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, nl_total,
-                       aggs_spec, pay_dtypes):
+def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, cap_b,
+                       nl_total, aggs_spec, pay_dtypes):
     """Distributed window join: both tables exchange by key-code
     ownership (code % n_dev — the dist_asof_probe pattern,
     parallel/dist.py), each chip runs the event-sort boundary core +
     range aggregates over its complete key partition (windows never
-    cross keys, so per-chip results are exact), and rows return to the
-    left table's original order via all_gather + one sort by global
-    left row id. The reference's single biggest published win
-    (window join, core/join.c:358-489, index.c:3287-3347) distributed
-    over ICI.
+    cross keys, so per-chip results are exact), and each result lane
+    routes BACK to the chip owning its left row (global row id //
+    shard) through a second capacity-bounded all_to_all — outputs come
+    out row-sharded in the left table's original order with NO
+    replicating all_gather (VERDICT r03 item 4: the old return path
+    gathered every lane over the full exchange capacity, ~4x the rows;
+    the reference's scatter moves ids, not rows,
+    core/index.c:2556-2729). Code and row-id lanes ride as i32. The
+    reference's single biggest published win (window join,
+    core/join.c:358-489, index.c:3287-3347) distributed over ICI.
 
     aggs_spec: tuple of (op, lane_idx | None, rtype) over the deduped
-    right payload lanes. Returns replicated
-    (ovf_l[1], ovf_r[1], *agg_lanes[nl_total]); nonzero overflow means
-    a (src, dst) bucket exceeded its capacity — the caller retries
-    with it doubled (nothing drops silently)."""
+    right payload lanes. Returns (ovf_l[1], ovf_r[1], ovf_b[1]
+    replicated, *agg_lanes[nl_total] row-sharded); nonzero overflow
+    means a (src, dst) bucket exceeded its capacity — the caller
+    retries with it doubled (nothing drops silently)."""
     from ..parallel import dist
     from jax.sharding import PartitionSpec as P
     axis = mesh.axis_names[0]
@@ -577,7 +582,8 @@ def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, nl_total,
 
     @partial(dist.shard_map, mesh=mesh,
              in_specs=tuple(P(axis) for _ in range(5 + n_pay)),
-             out_specs=tuple(P() for _ in range(2 + len(aggs_spec))),
+             out_specs=tuple([P(), P(), P()] +
+                             [P(axis)] * len(aggs_spec)),
              check_rep=False)
     def kernel(lcode, lo, hi, rcode, rts, *rpays):
         nl = lcode.shape[0]
@@ -612,14 +618,18 @@ def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, nl_total,
                     tiled=False).reshape(-1))
             return ovf, outs
 
+        # codes and global row ids ride the wire as i32 (n_codes and
+        # row counts are < 2^31); timestamps stay i64
         ovf_l, louts = route(
             lcode, lvalid_in,
-            [(lcode, np.int64(-1)), (lo, np.int64(0)),
-             (hi, np.int64(0)), (lrow, np.int64(G.KEY_MAX))], cap_l)
+            [(lcode.astype(jnp.int32), np.int32(-1)),
+             (lo, np.int64(0)), (hi, np.int64(0)),
+             (lrow.astype(jnp.int32), np.int32(-1))], cap_l)
         xlcode, xlo, xhi, xlrow = louts
         ovf_r, routs = route(
             rcode, rcode >= 0,
-            [(rcode, np.int64(-1)), (rts, np.int64(0))] +
+            [(rcode.astype(jnp.int32), np.int32(-1)),
+             (rts, np.int64(0))] +
             [(pv, payfill(dt)) for pv, dt in zip(rpays, pay_dtypes)],
             cap_r)
         xrcode, xrts = routs[0], routs[1]
@@ -627,10 +637,11 @@ def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, nl_total,
 
         # local dense code space: codes owned by this chip are exactly
         # {c : c % n_dev == me}, remapped densely by c // n_dev
-        lval = xlrow != G.KEY_MAX
-        llocal = jnp.where(lval, xlcode // n_dev,
+        lval = xlrow >= 0
+        llocal = jnp.where(lval, xlcode.astype(jnp.int64) // n_dev,
                            jnp.int64(n_local))
-        rlocal = jnp.where(xrcode >= 0, xrcode // n_dev,
+        rlocal = jnp.where(xrcode >= 0,
+                           xrcode.astype(jnp.int64) // n_dev,
                            jnp.int64(n_local))
         bres = _boundary_core(llocal, rlocal, xrts, xlo, xhi,
                               tuple(xpays), n_local, tp, None,
@@ -656,23 +667,66 @@ def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, nl_total,
                 lanes_out.append(_k_minmax_value(sv, red, ok, rtype,
                                                  op))
 
-        # ---- return to original left order ---------------------------
-        akey = jax.lax.all_gather(
-            jnp.where(lval, xlrow, jnp.int64(G.KEY_MAX)),
-            axis).reshape(-1)
-        alanes = [jax.lax.all_gather(v, axis).reshape(-1)
-                  for v in lanes_out]
-        srt = jax.lax.sort([akey] + alanes, num_keys=1,
-                           is_stable=False)
-        return tuple([jnp.reshape(ovf_l, (1,)),
-                      jnp.reshape(ovf_r, (1,))] +
-                     [v[:nl_total] for v in srt[1:]])
+        # ---- route results back to their left row's owner chip -------
+        # dst = global row id // shard size; offset within the shard
+        # is the exact output slot, so arrivals place with one pair
+        # sort and the output stays row-sharded — zero all_gather
+        mslots = xlrow.shape[0]
+        me32 = me.astype(jnp.int32)
+        dstb_all = jnp.where(lval, xlrow // np.int32(nl),
+                             np.int32(n_dev))
+        offb = jnp.where(lval, xlrow % np.int32(nl), np.int32(-1))
+        # DIAGONAL BYPASS: rows whose owner is this chip skip the
+        # exchange and merge locally (they are ~1/n_dev of the slots,
+        # so cap_b only needs to cover the off-chip remainder)
+        is_local_b = lval & (dstb_all == me32)
+        dstb = jnp.where(is_local_b, np.int32(n_dev), dstb_all)
+        order_b = jnp.argsort(dstb, stable=True)
+        dsb = dstb[order_b]
+        live_b = dsb < n_dev
+        within_b = jnp.arange(mslots, dtype=jnp.int32) - \
+            jnp.searchsorted(dsb, dsb, side="left").astype(jnp.int32)
+        ok_b = live_b & (within_b < cap_b)
+        ovf_b = jax.lax.psum(
+            (live_b & ~ok_b).sum().astype(jnp.int64), axis)
+        slot_b = jnp.where(ok_b, dsb * cap_b + within_b,
+                           np.int32(n_dev) * cap_b)
 
-    _a2a = n_dev * (n_dev - 1) * 8 * \
-        (4 * cap_l + (2 + n_pay) * cap_r)
-    _ag = (1 + len(aggs_spec)) * n_dev * (n_dev - 1) * \
-        n_dev * cap_l * 8
-    return dist._counted(jax.jit(kernel), lambda *a: _a2a + _ag)
+        def exch_b(lane, fill):
+            ls = lane[order_b]
+            buf = jnp.full((n_dev * cap_b,), fill, dtype=ls.dtype)
+            buf = buf.at[slot_b].set(ls, mode="drop")
+            return jax.lax.all_to_all(
+                buf.reshape(n_dev, cap_b), axis, 0, 0,
+                tiled=False).reshape(-1)
+
+        xoff = exch_b(offb, np.int32(-1))
+        xlanes = [exch_b(v, np.nan if v.dtype == jnp.float64 else 0)
+                  for v in lanes_out]
+        # merge arrivals with the local (bypassed) rows by output slot
+        loffk = jnp.where(is_local_b, offb, np.int32(2**31 - 1))
+        offk = jnp.concatenate(
+            [jnp.where(xoff >= 0, xoff, np.int32(2**31 - 1)), loffk])
+        xlanes = [jnp.concatenate([xv, lv])
+                  for xv, lv in zip(xlanes, lanes_out)]
+        pad_b = max(nl - int(offk.shape[0]), 0)
+        if pad_b:
+            offk = jnp.concatenate(
+                [offk, jnp.full(pad_b, np.int32(2**31 - 1))])
+            xlanes = [jnp.concatenate(
+                [v, jnp.zeros(pad_b, v.dtype)]) for v in xlanes]
+        placed = jax.lax.sort([offk] + xlanes, num_keys=1,
+                              is_stable=False)
+        return tuple([jnp.reshape(ovf_l, (1,)),
+                      jnp.reshape(ovf_r, (1,)),
+                      jnp.reshape(ovf_b, (1,))] +
+                     [v[:nl] for v in placed[1:]])
+
+    lane_bytes = 8 * len(aggs_spec)
+    _a2a = n_dev * (n_dev - 1) * \
+        ((4 + 8 + 8 + 4) * cap_l + (4 + 8 + 8 * n_pay) * cap_r)
+    _a2ab = n_dev * (n_dev - 1) * cap_b * (4 + lane_bytes)
+    return dist._counted(jax.jit(kernel), lambda *a: _a2a + _a2ab)
 
 
 def _mesh_window_join(m, lcode, rcode, rt_d, lo_d, hi_d, nl, nr,
@@ -712,29 +766,34 @@ def _mesh_window_join(m, lcode, rcode, rt_d, lo_d, hi_d, nl, nr,
     rows_l = (nl + n_dev - 1) // n_dev
     rows_r = (nr + n_dev - 1) // n_dev
     caps = [max(2 * rows_l // n_dev, 64),
-            max(2 * rows_r // n_dev, 64)]
+            max(2 * rows_r // n_dev, 64),
+            max(2 * rows_l // n_dev, 64)]
     while True:
-        key = (id(m), n_codes, tp, caps[0], caps[1], nl, aggs_spec,
-               pay_dtypes, rows_l, rows_r)
+        key = (id(m), n_codes, tp, caps[0], caps[1], caps[2], nl,
+               aggs_spec, pay_dtypes, rows_l, rows_r)
         f = _mesh_wj_cache.get(key)
         if f is None:
             f = _mesh_wjoin_kernel(m, n_codes, tp, caps[0], caps[1],
-                                   nl, aggs_spec, pay_dtypes)
+                                   caps[2], nl, aggs_spec,
+                                   pay_dtypes)
             _mesh_wj_cache[key] = f
         outs = f(lc, lo_s, hi_s, rc, rt_s, *pay_s)
         ovf_l = int(np.asarray(outs[0])[0])
         ovf_r = int(np.asarray(outs[1])[0])
-        if ovf_l == 0 and ovf_r == 0:
+        ovf_b = int(np.asarray(outs[2])[0])
+        if ovf_l == 0 and ovf_r == 0 and ovf_b == 0:
             break
         if ovf_l:
             caps[0] *= 2
         if ovf_r:
             caps[1] *= 2
+        if ovf_b:
+            caps[2] = min(caps[2] * 2, rows_l)
 
     from ..core.obj import DevPendingSliced
     out = {}
     for (out_sid, name, rcol, rtype), lane in zip(aggs,
-                                                  outs[2:]):
+                                                  outs[3:]):
         if name == "count":
             ot = T.I64
         elif name in ("avg", "dev"):

@@ -888,11 +888,12 @@ def test_dist_eq_probe_dup_keys(mesh8):
     ld, _ = dist.shard_rows(mesh8, lk)
     rd, _ = dist.shard_rows(mesh8, rk)
     f = dist.dist_eq_probe(mesh8, n, 64, 64)
-    ovf_l, ovf_r, rid, has = f(ld, rd)
+    ovf_l, ovf_r, ovf_b, rid, has = f(ld, rd)
     assert int(np.asarray(ovf_l)[0]) == 0
     assert int(np.asarray(ovf_r)[0]) == 0
-    rid = np.asarray(rid)
-    has = np.asarray(has)
+    assert int(np.asarray(ovf_b)[0]) == 0
+    rid = np.asarray(rid)[:n]
+    has = np.asarray(has)[:n]
     first = {}
     for i, k in enumerate(rk):
         first.setdefault(int(k), i)
@@ -956,3 +957,38 @@ def test_mesh_join_fuzz(mesh8, seed):
             s_host = fmt(rt.eval_str(q))
             dev.set_enabled(True)
             assert s_dev == s_host, (seed, q)
+
+
+def test_dist_eq_probe_skew_no_capacity_blowup(mesh8):
+    """99:1 hot key on the partitioned-build path: heavy keys resolve
+    via the candidate lanes WITHOUT being routed, so the exchange
+    succeeds at O(rows/n_dev) capacity — no doubling retries
+    (VERDICT r03 item 5; the reference handles this with per-key HT
+    chains, core/index.c:2886)."""
+    from rayforce_tpu.parallel import dist
+    rng = np.random.default_rng(23)
+    n = 8 * 512
+    # 99% of left rows carry key 7; without skew routing they would
+    # all land on chip 7 % 8 and overflow any O(rows/n_dev) bucket
+    lk = np.where(rng.random(n) < 0.99, 7,
+                  rng.integers(0, 500, n)).astype(np.int64)
+    rk = rng.permutation(500)[:300].astype(np.int64)
+    nr = 8 * ((len(rk) + 7) // 8)
+    rk = np.concatenate([rk, np.full(nr - len(rk), -1,
+                                     dtype=np.int64)])
+    ld, _ = dist.shard_rows(mesh8, lk)
+    rd, _ = dist.shard_rows(mesh8, rk)
+    cap = max(2 * (n // 8) // 8, 64)      # the balanced O(rows/n_dev)
+    f = dist.dist_eq_probe(mesh8, n, cap, cap, cap_b=cap * 4)
+    ovf_l, ovf_r, ovf_b, rid, has = f(ld, rd)
+    assert int(np.asarray(ovf_l)[0]) == 0, "hot key was routed"
+    assert int(np.asarray(ovf_r)[0]) == 0
+    rid = np.asarray(rid)[:n]
+    has = np.asarray(has)[:n]
+    first = {int(k): i for i, k in reversed(list(enumerate(rk)))
+             if k >= 0}
+    for i in range(n):
+        if int(lk[i]) in first:
+            assert has[i] and rid[i] == first[int(lk[i])], i
+        else:
+            assert not has[i], i

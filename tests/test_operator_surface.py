@@ -213,12 +213,23 @@ def test_pmap_process_pool_correctness(monkeypatch):
 
 def test_pmap_process_pool_speedup(monkeypatch):
     """On 4+ real cores, pmap of a pure-interpreter lambda beats map
-    (the GIL-bound thread pool could not)."""
+    (the GIL-bound thread pool could not).
+
+    THE ONE ENVIRONMENT-GATED SKIP in the suite: this asserts a
+    wall-clock PARALLEL SPEEDUP (pmap < 0.7x map), which is physically
+    unmeasurable on fewer than ~4 real cores — forked workers just
+    time-slice one CPU and the assertion would flake on scheduler
+    noise, not code. pmap CORRECTNESS (process pool engages, results
+    match map, child errors propagate) is covered unconditionally by
+    test_pmap_process_pool above; only the speedup claim needs real
+    parallel hardware (the TPU host VM here exposes 1 vCPU)."""
     import os as _os
     import time
     if (_os.cpu_count() or 1) < 4:
         import pytest as _pytest
-        _pytest.skip("needs 4+ cores")
+        _pytest.skip("parallel speedup unmeasurable on "
+                     f"{_os.cpu_count()} core(s); correctness covered "
+                     "by test_pmap_process_pool")
     rt = _rt()
     body = "(fn [x] (fold + 0 (til 30000)))"
     rt.eval_str(f"(set work {body})")
