@@ -396,10 +396,14 @@ def _mesh_eq(m, lcode, rcode, n_l, n_r):
                 [a, jnp.full(pad, fill, dtype=a.dtype)])
         return jax.device_put(a, NamedSharding(m, P(axis)))
 
-    lp = shardpad(lcode, np.int64(-1))
-    rp = shardpad(rcode, np.int64(-1))
+    # row ids ride the exchange as i32 inside dist_eq_probe; fall back
+    # (caller handles None) before they could wrap (ADVICE r04)
     rows_l = (n_l + n_dev - 1) // n_dev
     rows_r = (n_r + n_dev - 1) // n_dev
+    if n_dev * rows_l >= 2**31 or n_dev * rows_r >= 2**31:
+        return None
+    lp = shardpad(lcode, np.int64(-1))
+    rp = shardpad(rcode, np.int64(-1))
     caps = [max(2 * rows_l // n_dev, 64),
             max(2 * rows_r // n_dev, 64),
             max(2 * rows_l // n_dev, 64)]

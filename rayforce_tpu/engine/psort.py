@@ -41,6 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# split64/join64 and the f64 payload path need real 64-bit lanes;
+# without this, import order decides correctness (dist.py:32 does the
+# same — ADVICE r04 high finding).
+jax.config.update("jax_enable_x64", True)
+
 LANES = 128
 DEF_BLK_LOG2 = 15        # 2^15 elements per block = (256, 128) i32
 
@@ -75,9 +80,12 @@ def _substage(ops, n_keys, li, gbase, s, d, rows):
     else:
         ax, sh, size = 1, t, LANES
     mask_lo = (li & t) == 0
+    # shifts must trace as i32: under jax_enable_x64 a bare Python int
+    # becomes i64, which tpu.dynamic_rotate rejects
     partner = [jnp.where(mask_lo,
-                         pltpu.roll(x, size - sh, axis=ax),
-                         pltpu.roll(x, sh, axis=ax)) for x in ops]
+                         pltpu.roll(x, np.int32(size - sh), axis=ax),
+                         pltpu.roll(x, np.int32(sh), axis=ax))
+               for x in ops]
     # ascending run iff bit (s+1) of the GLOBAL element index is 0
     asc = (((gbase + li) >> (s + 1)) & 1) == 0
     lo_ops = [jnp.where(mask_lo, m, p) for m, p in zip(ops, partner)]
@@ -188,10 +196,13 @@ def _member_spec(rows, in_pos, wsorted, rest_bits, m):
             const += 1 << in_pos[b]
 
     def imap(g, const=const):
-        p = const
+        # index maps must return a uniform 32-bit type: under
+        # jax_enable_x64 a bare literal traces as i64 next to the i32
+        # program id and Mosaic rejects the mixed func.return
+        p = jnp.int32(const)
         for i, b in enumerate(rest_bits):
-            p = p + (((g >> i) & 1) << in_pos[b])
-        return (p, 0)
+            p = p + (((g >> i) & 1) << np.int32(in_pos[b]))
+        return (p, np.int32(0))
 
     return pl.BlockSpec((rows, LANES), imap,
                         memory_space=pltpu.VMEM)
@@ -200,6 +211,23 @@ def _member_spec(rows, in_pos, wsorted, rest_bits, m):
 # fuse window width: 2^W member blocks per program. VMEM per program
 # ~= 2 * n_ops * 2^(W + blk_log2) * 4 B (in + out) + clean temps.
 _W = 3
+
+# Mosaic's default scoped-VMEM stack is 16 MB, which the window kernel
+# exceeds once ~3 operands ride a 2^15 block at _W=3; v5e has 128 MB
+# physical VMEM, so raise the ceiling and shrink the window for very
+# wide operand sets instead of OOMing.
+_VMEM_LIMIT = 96 * 1024 * 1024
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _fit_w(n_ops, blk_log2):
+    """Largest window width whose in+out member blocks fit ~2/3 of the
+    VMEM ceiling (leaving room for compare-exchange temporaries)."""
+    w = _W
+    while w > 1 and 2 * n_ops * (4 << (w + blk_log2)) > \
+            (_VMEM_LIMIT * 2) // 3:
+        w -= 1
+    return w
 
 
 @functools.partial(jax.jit,
@@ -214,7 +242,7 @@ def _sort_padded(ops, n_keys, blk_log2, interpret=False):
     nb = N >> k
     rows = (1 << k) >> 7
     B = K - k                        # block-index bits
-    vspec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+    vspec = pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0)),
                          memory_space=pltpu.VMEM)
     shapes = [jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32)
               for _ in range(n_ops)]
@@ -227,18 +255,20 @@ def _sort_padded(ops, n_keys, blk_log2, interpret=False):
         out_specs=[vspec] * n_ops,
         out_shape=shapes,
         interpret=interpret,
+        compiler_params=None if interpret else _CPARAMS,
     )(*ops))
 
     # phase B: stage s has cross-block distance bits [c-1 .. 0]
     # (c = s-k+1), walked top-down in windows of <= _W bits; the last
     # window also runs the in-block clean. Layout starts and ends at
     # identity every stage (see _window_pass_kernel).
+    w_eff = _fit_w(n_ops, k)
     for s in range(k, K):
         c = s - k + 1
         in_pos = tuple(range(B))     # identity at stage start
         hi = c - 1
         while hi >= 0:
-            lo = max(0, hi - _W + 1)
+            lo = max(0, hi - w_eff + 1)
             wbits = list(range(lo, hi + 1))
             rest_bits = [b for b in range(B) if b not in wbits]
             kern, G = _window_pass_kernel(
@@ -248,7 +278,8 @@ def _sort_padded(ops, n_keys, blk_log2, interpret=False):
             in_specs = [_member_spec(rows, in_pos, wsorted,
                                      rest_bits, m)
                         for m in range(G)]
-            gspec = pl.BlockSpec((G * rows, LANES), lambda g: (g, 0),
+            gspec = pl.BlockSpec((G * rows, LANES),
+                                 lambda g: (g, np.int32(0)),
                                  memory_space=pltpu.VMEM)
             ops = list(pl.pallas_call(
                 kern,
@@ -258,6 +289,7 @@ def _sort_padded(ops, n_keys, blk_log2, interpret=False):
                 out_specs=[gspec] * n_ops,
                 out_shape=shapes,
                 interpret=interpret,
+                compiler_params=None if interpret else _CPARAMS,
             )(*[o for o in ops for _ in range(G)]))
             # out layout: window bits -> low positions (ascending),
             # rest bits above (ascending)
@@ -278,19 +310,35 @@ def _pad_to(x, n_pad, fill):
         [x, jnp.full(n_pad - x.shape[0], fill, dtype=x.dtype)])
 
 
-def sort_i32(ops, n_keys=1, blk_log2=DEF_BLK_LOG2):
+def sort_i32(ops, n_keys=1, blk_log2=DEF_BLK_LOG2, guard=True):
     """Sort M parallel i32 device arrays by their first n_keys words
     (signed-i32 lexicographic, ascending, unstable; pads sort last).
-    Returns the sorted operands at the input length."""
+    Returns the sorted operands at the input length.
+
+    Pads fill every word with INT32_MAX, but a real row whose key
+    words ALL equal the sentinel would tie with pads and the unstable
+    network could return a pad payload inside [:n] (ADVICE r04). So
+    when padding occurs (and `guard`), an i32 iota rides as one extra
+    trailing key word: real rows carry iota < n, pads carry INT32_MAX,
+    making real-before-pad a strict order. Callers whose final key
+    word is already a pre-pad iota (sort_mixed stable_iota) pass
+    guard=False to skip the redundant word."""
     n = int(ops[0].shape[0])
     N = 1 << max(int(n - 1).bit_length(), 10)
+    words = [x.astype(jnp.int32) for x in ops]
+    guarded = guard and N != n
+    if guarded:
+        words.insert(n_keys, jnp.arange(n, dtype=jnp.int32))
+        n_keys += 1
     padded = [
-        _pad_to(x.astype(jnp.int32), N, np.int32(2**31 - 1))
-        .reshape(N // LANES, LANES)
-        for x in ops]
+        _pad_to(x, N, np.int32(2**31 - 1)).reshape(N // LANES, LANES)
+        for x in words]
     out = _sort_padded(tuple(padded), n_keys=n_keys,
                        blk_log2=blk_log2, interpret=_INTERPRET)
-    return [o.reshape(-1)[:n] for o in out]
+    out = [o.reshape(-1)[:n] for o in out]
+    if guarded:
+        out.pop(n_keys - 1)
+    return out
 
 
 def split64(x):
@@ -339,7 +387,7 @@ def sort_mixed(key, ops, stable_iota=False):
         else:
             recipes.append((str(x.dtype), (len(words),)))
             words.append(x.astype(jnp.int32))
-    out = sort_i32(words, n_keys=n_keys)
+    out = sort_i32(words, n_keys=n_keys, guard=not stable_iota)
     if key.dtype == jnp.int64:
         skey = join64(out[0], out[1])
     else:

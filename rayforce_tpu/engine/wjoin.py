@@ -740,6 +740,12 @@ def _mesh_window_join(m, lcode, rcode, rt_d, lo_d, hi_d, nl, nr,
     n_local = -(-n_codes // n_dev)
     if n_local > dev._cfg["dense_max"]:
         return None
+    # global row ids ride the exchange as i32 (kernel comment at
+    # _mesh_wjoin_kernel); past 2^31 padded rows they would wrap and
+    # corrupt dst/offset routing — fall back instead (ADVICE r04).
+    if n_dev * ((nl + n_dev - 1) // n_dev) >= 2**31 or \
+            n_dev * ((nr + n_dev - 1) // n_dev) >= 2**31:
+        return None
 
     def shardpad(a, fill):
         pad = (-int(a.shape[0])) % n_dev
