@@ -417,6 +417,19 @@ def _k_rank_nf(sv):
 
 
 @jax.jit
+def _k_rank_vals_nf(sv):
+    """(ranks, sorted values) of a null-free column in ONE executable:
+    the rank sort's key output IS the sorted-value table, so computing
+    them together saves a whole extra sort of the column (and a relay
+    dispatch) vs the old separate _k_sorted_vals_nf."""
+    n = sv.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    vo, order = jax.lax.sort([sv, iota], num_keys=1, is_stable=True)
+    _o, rank = jax.lax.sort([order, iota], num_keys=1, is_stable=True)
+    return rank, vo
+
+
+@jax.jit
 def _k_sorted_vals_nf(sv):
     return jax.lax.sort([sv], num_keys=1)[0]
 
@@ -539,6 +552,11 @@ def _k_minmax_value(sv, red, ok, rtype, op):
     empty = out == (G.KEY_MAX if is_min else G.I64_MIN)
     nv2 = np.int64(T.NULL_BY_TYPE.get(rtype, T.NULL_I64))
     return jnp.where(ok & ~empty, out, nv2)
+
+
+@jax.jit
+def _k_bounds4(lo, hi):
+    return jnp.stack([lo.min(), lo.max(), hi.min(), hi.max()])
 
 
 # -- mesh (multi-chip) window join --------------------------------------------
@@ -848,8 +866,14 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
         n_codes = 1
 
     rt_d = dev.dev_col(time_r).astype(jnp.int64)
-    lo_d = jnp.asarray(np.asarray(lo_np, dtype=np.int64))
-    hi_d = jnp.asarray(np.asarray(hi_np, dtype=np.int64))
+    if isinstance(lo_np, jax.Array):
+        lo_d = lo_np.astype(jnp.int64)
+    else:
+        lo_d = jnp.asarray(np.asarray(lo_np, dtype=np.int64))
+    if isinstance(hi_np, jax.Array):
+        hi_d = hi_np.astype(jnp.int64)
+    else:
+        hi_d = jnp.asarray(np.asarray(hi_np, dtype=np.int64))
     nl, nr = int(lcode.shape[0]), int(rcode.shape[0])
     if nl == 0 or nr == 0:
         return None
@@ -876,8 +900,16 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
     pack = None
     try:
         rlo, rhi = dev.column_range(time_r)
-        tmin = int(min(int(rlo), int(lo_np.min()), int(hi_np.min())))
-        tmax = int(max(int(rhi), int(lo_np.max()), int(hi_np.max())))
+        if isinstance(lo_np, jax.Array) or isinstance(hi_np,
+                                                      jax.Array):
+            # bounds stats in ONE device round trip (4 scalars)
+            b4 = jax.device_get(_k_bounds4(lo_d, hi_d))
+            lmin, lmax, hmin, hmax = (int(x) for x in b4)
+        else:
+            lmin, lmax = int(lo_np.min()), int(lo_np.max())
+            hmin, hmax = int(hi_np.min()), int(hi_np.max())
+        tmin = int(min(int(rlo), lmin, hmin))
+        tmax = int(max(int(rhi), lmax, hmax))
         tbits = max(int(tmax - tmin).bit_length(), 1)
         cbits = max(int(n_codes).bit_length(), 1)
         if cbits + tbits + 2 <= 62 and nr < (1 << 36) and \
@@ -927,9 +959,9 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
                 # sparse tables alive at once pressure HBM)
                 def mm_thunk(v=sv, op=name, rt_=rtype, key=id(rcol)):
                     if ("rank", key) not in shared_mm:
-                        shared_mm[("rank", key)] = _k_rank_nf(v)
-                        shared_mm[("vals", key)] = \
-                            _k_sorted_vals_nf(v)
+                        rk_, vo_ = _k_rank_vals_nf(v)
+                        shared_mm[("rank", key)] = rk_
+                        shared_mm[("vals", key)] = vo_
                     rk = shared_mm[("rank", key)]
                     vo = shared_mm[("vals", key)]
                     red = _k_minmax_from_rank(rk, li, ri, op)

@@ -466,8 +466,20 @@ def _try_device_window_join(interp, keys, windows, lt, rt, aggd, tp):
                 return None
             aggs.append((int(sid), nm, col,
                          col.t if col.t != T.ENUM else T.ENUM))
-        lo = to_np(windows.v[0]).astype(np.int64)
-        hi = to_np(windows.v[1]).astype(np.int64)
+        def _wbound(o):
+            """Window bound column, device-resident when it already
+            lives in HBM (e.g. built by the device arithmetic fast
+            path) — the host conversion + re-upload of 10M+ rows costs
+            more than the whole join."""
+            p = o.pending()
+            if p is not None:
+                return p.arr
+            m = o.meta if isinstance(o.meta, dict) else None
+            if m is not None and "dev" in m:
+                return m["dev"]
+            return to_np(o).astype(np.int64)
+        lo = _wbound(windows.v[0])
+        hi = _wbound(windows.v[1])
         if len(lo) != len(lt) or len(hi) != len(lt):
             return None
         res = ew.window_join_device(lk, rk, lo, hi, aggs, tp)

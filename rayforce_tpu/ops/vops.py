@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import types as T
-from ..core.obj import Obj, to_np, list_, dict_
+from ..core.obj import Obj, to_np, list_, dict_, is_null_scalar
 from ..core.errors import err_type, err_length
 
 INT_TYPES = (T.I16, T.I32, T.I64)
@@ -159,6 +159,74 @@ def _compute(op: str, ct: int, va, vb):
     raise err_type(f"bad int op {op}")
 
 
+def _dev_arith_fast(op, a, b, ta, tb, rt, ct):
+    """Scalar +-* over a DEVICE-RESIDENT vector stays on device: the
+    result is a lazy DevPending column, so chains like the window-join
+    bounds `(map-left + [-1000 1000] ts)` never fetch 10M+ rows to the
+    host and never pay the re-upload (the reference computes these in
+    RAM where RAM is where the data lives, core/math.c binop_map; here
+    the data lives in HBM). Host semantics are mirrored exactly: typed
+    null sentinels propagate, ints wrap, f64 nulls are NaN (which the
+    device ops propagate natively). Returns None whenever the host
+    path should run instead (no device copy, small vector, null
+    scalar, unsupported compute type)."""
+    if a.t > 0 and b.t < 0:
+        vec, sc = a, b
+    elif b.t > 0 and a.t < 0:
+        vec, sc = b, a
+    else:
+        return None
+    has_dev = (isinstance(vec.meta, dict) and "dev" in vec.meta) or \
+        vec.pending() is not None
+    if not has_dev:
+        return None
+    if ct not in (T.I16, T.I32, T.I64, T.F64):
+        return None
+    tv = ta if vec is a else tb
+    ts_ = tb if vec is a else ta
+    if tv == T.ENUM or ts_ == T.ENUM:
+        return None
+    sval = sc.v
+    if is_null_scalar(abs(sc.t), sval):
+        return None
+    from ..engine import device as dev
+    if not dev.available():
+        return None
+    n = int(vec.pending().shape[0]) if vec.pending() is not None \
+        else len(vec)
+    if not dev.should_use(n):
+        return None
+    from ..core.obj import DevPending
+    import jax.numpy as jnp
+    arr = dev.dev_col(vec)
+    cdt = T.DTYPE[ct]
+    nv_in = T.NULL_BY_TYPE.get(tv)
+    nulls = None
+    if ct != T.F64 and nv_in is not None:
+        nulls = arr == jnp.asarray(nv_in, dtype=arr.dtype)
+    x = arr.astype(cdt)
+    s = jnp.asarray(cdt(sval) if ct != T.F64 else np.float64(sval))
+    if vec is b:
+        x, s = s, x  # preserve operand order for sub
+    if op == "add":
+        raw = x + s
+    elif op == "sub":
+        raw = x - s
+    else:
+        raw = x * s
+    out_dt = T.DTYPE[rt]
+    if raw.dtype != out_dt:
+        raw = raw.astype(out_dt)
+    if nulls is not None:
+        nv_out = null_of(rt)
+        if nv_out is not None:
+            raw = jnp.where(nulls, np.asarray(nv_out, dtype=out_dt),
+                            raw)
+    o = Obj(rt, DevPending(raw))
+    o.meta = {"dev": raw}
+    return o
+
+
 def arith(op: str, a: Obj, b: Obj) -> Obj:
     """Elementwise arithmetic with broadcasting, recursion over LIST/dict."""
     if a.t in T.UNPARTED_OF or b.t in T.UNPARTED_OF:
@@ -211,6 +279,10 @@ def arith(op: str, a: Obj, b: Obj) -> Obj:
 
     if a.t > 0 and b.t > 0 and len(a) != len(b):
         raise err_length(f"{len(a)} vs {len(b)}")
+    if op in ("add", "sub", "mul"):
+        dres = _dev_arith_fast(op, a, b, ta, tb, rt, ct)
+        if dres is not None:
+            return dres
     va, vb = a.v, b.v
     nulls = None
     na = is_null_np(ta, to_np(a) if a.t > 0 else va)

@@ -19,9 +19,39 @@ from rayforce_tpu import Runtime
 
 REF_BIN = os.environ.get("RAYFORCE_ORACLE", "/tmp/refbuild/rayforce")
 
+
+def _ensure_ref_binary() -> bool:
+    """Build the reference binary out-of-tree when absent (a few
+    minutes with gcc, done once per machine: /root/reference is
+    read-only, so the tree is copied to /tmp first). Returns whether
+    the binary is runnable."""
+    if os.path.exists(REF_BIN):
+        return True
+    src = "/root/reference"
+    if REF_BIN != "/tmp/refbuild/rayforce" or \
+            not os.path.exists(os.path.join(src, "Makefile")):
+        return False
+    import shutil
+    try:
+        work = "/tmp/refsrc"
+        if not os.path.exists(os.path.join(work, "Makefile")):
+            shutil.copytree(src, work, dirs_exist_ok=True)
+        r = subprocess.run(["make", "CC=gcc", "-j4"], cwd=work,
+                           capture_output=True, timeout=900)
+        built = os.path.join(work, "rayforce")
+        if r.returncode != 0 or not os.path.exists(built):
+            return False
+        os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
+        shutil.copy2(built, REF_BIN)
+        return True
+    except Exception:
+        return False
+
+
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_BIN),
-    reason="reference binary not built (see tools/oracle.py)")
+    not _ensure_ref_binary(),
+    reason="reference binary not built and could not be built "
+           "(see tools/oracle.py)")
 
 
 def _free_port() -> int:
