@@ -101,12 +101,23 @@ def _pack_codes(cols, metas):
 
 
 def _match_kernel(n_l: int, n_r: int, mode: str, timed: bool,
-                  code_bits: int | None = None):
+                  code_bits: int | None = None,
+                  time_pack: tuple | None = None):
     """code_bits set (untimed joins whose packed code range is known):
     (code, pos) pack into ONE i64 sort key and the unsort packs
     (pos, match) likewise — two single-key unstable sorts instead of
-    two stable multi-operand ones (~2x cheaper, TPU_NOTES.md)."""
-    key = (n_l, n_r, mode, timed, code_bits)
+    two stable multi-operand ones (~2x cheaper, TPU_NOTES.md).
+
+    time_pack = (tmin, tbits) for asof joins whose (code, time) fit a
+    single i64 with one spare bit: the sort key becomes
+    (code << (tbits+1)) | (time - tmin) << 1 | is_left, with pos as a
+    carried payload. The side bit keeps the asof tie rule (a right row
+    at exactly the left row's time matches — the stable sort got this
+    from rights preceding lefts in concat order); within one
+    (code, time, side) everything is interchangeable for the prefix
+    max, so the unstable sort is safe. Replaces the stable 3-operand
+    sort (~2-3x cheaper at 30M rows)."""
+    key = (n_l, n_r, mode, timed, code_bits, time_pack)
     if key in _kernel_cache:
         return _kernel_cache[key]
 
@@ -121,6 +132,17 @@ def _match_kernel(n_l: int, n_r: int, mode: str, timed: bool,
             scode = spk >> pos_bits
             spos = (spk & ((np.int64(1) << pos_bits) - 1)) \
                 .astype(jnp.int32)
+        elif timed and time_pack is not None:
+            tmin, tbits = time_pack
+            pos = jnp.arange(n, dtype=jnp.int32)
+            tcomb = jnp.concatenate([times[1].astype(jnp.int64),
+                                     times[0].astype(jnp.int64)])
+            side = (pos >= n_r).astype(jnp.int64)
+            pk = (comb << (tbits + 1)) | \
+                ((tcomb - jnp.int64(tmin)) << 1) | side
+            spk, spos = jax.lax.sort([pk, pos], num_keys=1,
+                                     is_stable=False)
+            scode = spk >> (tbits + 1)
         else:
             pos = jnp.arange(n, dtype=jnp.int32)
             if timed:
@@ -223,15 +245,18 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
             last_profile["engine"] = "dist-asof"
             return rids
     code_bits = None
+    time_pack = None
+
+    def _nullfree(cols):
+        try:
+            return not any(dev.column_has_null(c) for c in cols)
+        except Exception:
+            return False
+
     if ltime is None and lkeys:
         # NULL keys wrap (NULL - lo) to codes far outside [0, range):
         # consistent for equality matching, but they overflow the
         # packed (code << pos) key — pack only null-free keys
-        def _nullfree(cols):
-            try:
-                return not any(dev.column_has_null(c) for c in cols)
-            except Exception:
-                return False
         if _nullfree(lkeys) and _nullfree(rkeys):
             total = 1
             for _lo, rng, _nb in metas:
@@ -240,8 +265,25 @@ def match_ids_device(lkeys, rkeys, ltime=None, rtime=None,
             pb = max((n_l + n_r - 1).bit_length(), 1)
             if cb + pb <= 62:
                 code_bits = cb
+    elif ltime is not None and _nullfree([ltime, rtime]) and \
+            (not lkeys or _nullfree(lkeys + rkeys)):
+        # asof (code, time, side) single-key pack — see _match_kernel
+        try:
+            total = 1
+            for _lo, rng, _nb in (metas if lkeys else []):
+                total *= rng
+            llo, lhi = dev.column_range(ltime)
+            rlo, rhi = dev.column_range(rtime)
+            tmin = int(min(int(llo), int(rlo)))
+            tmax = int(max(int(lhi), int(rhi)))
+            cb = max(int(total).bit_length(), 1)
+            tb = max(int(tmax - tmin).bit_length(), 1)
+            if cb + tb + 1 <= 62:
+                time_pack = (tmin, tb)
+        except Exception:
+            time_pack = None
     f = _match_kernel(n_l, n_r, mode, ltime is not None,
-                      code_bits=code_bits)
+                      code_bits=code_bits, time_pack=time_pack)
     last_profile.clear()
     last_profile["engine"] = "device-sortmerge"
     if ltime is not None:

@@ -252,11 +252,21 @@ def _boundary_core(lcode, rcode, rt, lo, hi, pays, n_codes, tp, pack,
                                 num_keys=2, is_stable=True)
         src, srt, sr = sorted_r[0], sorted_r[1], sorted_r[2]
         spays = sorted_r[3:]
-    cnt = G.matmul_tasks_scan(
-        src.astype(jnp.int32), [jnp.ones(nr, jnp.float32)],
-        n_codes + 1, nr)[0].astype(jnp.int64)[:n_codes]
-    starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int64), jnp.cumsum(cnt)[:-1]])
+    # per-code counts/starts by searchsorted over the ALREADY-SORTED
+    # right keys: n_codes+1 probes x log2(nr) gathers (~33 ms at 20M
+    # rows / 18k codes) vs a full one-hot matmul scan over all rows.
+    # starts_ext[c] = rows with code < c; the n_codes probe lands on
+    # the first trash row (trash sorts last), so cnt excludes trash.
+    probes = jnp.arange(n_codes + 1, dtype=jnp.int64)
+    if pack is not None:
+        tmin_, tbits_ = pack
+        starts_ext = jnp.searchsorted(spk, probes << tbits_,
+                                      side="left").astype(jnp.int64)
+    else:
+        starts_ext = jnp.searchsorted(src, probes,
+                                      side="left").astype(jnp.int64)
+    cnt = starts_ext[1:] - starts_ext[:-1]
+    starts = starts_ext[:-1]
     lc32 = jnp.clip(lcode, 0, n_codes - 1).astype(jnp.int32)
     g_cnt = cnt[lc32]
     g_fi = starts[lc32]
