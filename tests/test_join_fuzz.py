@@ -211,3 +211,34 @@ def test_serde_fuzz(seed):
         b = serde.ser_payload(o)
         o2 = serde.de_payload(bytes(b), rt.interp.env)
         assert fmt(o) == fmt(o2), (seed, fmt(o))
+
+
+def test_asof_packed_tie_rule():
+    """The packed (code,time,side) asof kernel (engine/join.py
+    _match_kernel time_pack) must keep the reference tie rule: a right
+    row at EXACTLY the left row's time matches, and among equal-time
+    rights the LAST (highest row id) wins (core/index.c:3194-3266).
+    Deterministic ties pin what the randomized fuzz only samples."""
+    dev.set_threshold(1)
+    dev.set_enabled(True)
+    rt = Runtime()
+    # right rows: key 1 at times [10, 10, 20]; key 2 at [15]
+    rt.interp.globals[symbols.intern("r")] = table(
+        vec_sym(["k", "ts", "rv"]),
+        [Obj(T.I64, np.array([1, 1, 1, 2], dtype=np.int64)),
+         Obj(T.I64, np.array([10, 10, 20, 15], dtype=np.int64)),
+         Obj(T.I64, np.array([100, 200, 300, 400], dtype=np.int64))])
+    # left probes: exact tie (10 -> last tied right, rv 200),
+    # between (19 -> rv 200), at (20 -> rv 300), before any (5 -> null
+    # LIST degrade), other key exact (15 -> 400)
+    rt.interp.globals[symbols.intern("l")] = table(
+        vec_sym(["k", "ts"]),
+        [Obj(T.I64, np.array([1, 1, 1, 1, 2], dtype=np.int64)),
+         Obj(T.I64, np.array([10, 19, 20, 5, 15], dtype=np.int64))])
+    dev.set_enabled(True)
+    s_dev = fmt(rt.eval_str("(asof-join [k ts] l r)"))
+    dev.set_enabled(False)
+    s_host = fmt(rt.eval_str("(asof-join [k ts] l r)"))
+    dev.set_enabled(True)
+    assert s_dev == s_host
+    assert "200" in s_dev and "300" in s_dev and "400" in s_dev
