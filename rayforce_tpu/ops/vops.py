@@ -159,61 +159,79 @@ def _compute(op: str, ct: int, va, vb):
     raise err_type(f"bad int op {op}")
 
 
+def _has_dev(o):
+    return (isinstance(o.meta, dict) and "dev" in o.meta) or \
+        o.pending() is not None
+
+
+def _dev_len(o):
+    p = o.pending()
+    return int(p.shape[0]) if p is not None else len(o)
+
+
 def _dev_arith_fast(op, a, b, ta, tb, rt, ct):
-    """Scalar +-* over a DEVICE-RESIDENT vector stays on device: the
-    result is a lazy DevPending column, so chains like the window-join
-    bounds `(map-left + [-1000 1000] ts)` never fetch 10M+ rows to the
-    host and never pay the re-upload (the reference computes these in
-    RAM where RAM is where the data lives, core/math.c binop_map; here
-    the data lives in HBM). Host semantics are mirrored exactly: typed
-    null sentinels propagate, ints wrap, f64 nulls are NaN (which the
-    device ops propagate natively). Returns None whenever the host
-    path should run instead (no device copy, small vector, null
-    scalar, unsupported compute type)."""
-    if a.t > 0 and b.t < 0:
-        vec, sc = a, b
-    elif b.t > 0 and a.t < 0:
-        vec, sc = b, a
-    else:
-        return None
-    has_dev = (isinstance(vec.meta, dict) and "dev" in vec.meta) or \
-        vec.pending() is not None
-    if not has_dev:
-        return None
+    """+-* over DEVICE-RESIDENT vectors (with a scalar or with each
+    other) stays on device: the result is a lazy DevPending column, so
+    chains like the window-join bounds `(map-left + [-1000 1000] ts)`
+    never fetch 10M+ rows to the host and never pay the re-upload (the
+    reference computes these in RAM because RAM is where the data
+    lives, core/math.c binop_map; here the data lives in HBM). Host
+    semantics are mirrored exactly: typed null sentinels in EITHER
+    operand yield the result type's null (NaN for F64 — an integer
+    sentinel must be masked before the f64 cast, it does not become
+    NaN by casting), ints wrap, f64 NaNs propagate natively. Returns
+    None whenever the host path should run instead (no device copy,
+    small vector, null scalar, unsupported compute type)."""
     if ct not in (T.I16, T.I32, T.I64, T.F64):
         return None
-    tv = ta if vec is a else tb
-    ts_ = tb if vec is a else ta
-    if tv == T.ENUM or ts_ == T.ENUM:
-        return None
-    sval = sc.v
-    if is_null_scalar(abs(sc.t), sval):
+    if ta == T.ENUM or tb == T.ENUM:
         return None
     from ..engine import device as dev
     if not dev.available():
         return None
-    n = int(vec.pending().shape[0]) if vec.pending() is not None \
-        else len(vec)
-    if not dev.should_use(n):
-        return None
     from ..core.obj import DevPending
     import jax.numpy as jnp
-    arr = dev.dev_col(vec)
     cdt = T.DTYPE[ct]
-    nv_in = T.NULL_BY_TYPE.get(tv)
-    nulls = None
-    if ct != T.F64 and nv_in is not None:
-        nulls = arr == jnp.asarray(nv_in, dtype=arr.dtype)
-    x = arr.astype(cdt)
-    s = jnp.asarray(cdt(sval) if ct != T.F64 else np.float64(sval))
-    if vec is b:
-        x, s = s, x  # preserve operand order for sub
-    if op == "add":
-        raw = x + s
-    elif op == "sub":
-        raw = x - s
+
+    def vec_operand(o, t):
+        """(value in ct, null mask | None) for a vector operand."""
+        arr = dev.dev_col(o)
+        nv = T.NULL_BY_TYPE.get(t)
+        nulls = None
+        if nv is not None and t != T.F64:
+            nulls = arr == jnp.asarray(nv, dtype=arr.dtype)
+        return arr.astype(cdt), nulls
+
+    if a.t > 0 and b.t > 0:
+        if not (_has_dev(a) and _has_dev(b)):
+            return None
+        if not dev.should_use(_dev_len(a)):
+            return None
+        x, na = vec_operand(a, ta)
+        y, nb = vec_operand(b, tb)
+        nulls = na if nb is None else (nb if na is None else na | nb)
     else:
-        raw = x * s
+        if a.t > 0 and b.t < 0:
+            vec, sc, tv = a, b, ta
+        elif b.t > 0 and a.t < 0:
+            vec, sc, tv = b, a, tb
+        else:
+            return None
+        if not _has_dev(vec) or not dev.should_use(_dev_len(vec)):
+            return None
+        sval = sc.v
+        if is_null_scalar(abs(sc.t), sval):
+            return None
+        v, nulls = vec_operand(vec, tv)
+        s = jnp.asarray(cdt(sval) if ct != T.F64
+                        else np.float64(sval))
+        x, y = (v, s) if vec is a else (s, v)
+    if op == "add":
+        raw = x + y
+    elif op == "sub":
+        raw = x - y
+    else:
+        raw = x * y
     out_dt = T.DTYPE[rt]
     if raw.dtype != out_dt:
         raw = raw.astype(out_dt)
@@ -222,6 +240,8 @@ def _dev_arith_fast(op, a, b, ta, tb, rt, ct):
         if nv_out is not None:
             raw = jnp.where(nulls, np.asarray(nv_out, dtype=out_dt),
                             raw)
+        elif rt == T.F64:
+            raw = jnp.where(nulls, jnp.float64(np.nan), raw)
     o = Obj(rt, DevPending(raw))
     o.meta = {"dev": raw}
     return o
