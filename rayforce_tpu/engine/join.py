@@ -419,6 +419,39 @@ def sliced_col(lane, n: int, like: Obj) -> Obj:
     return o
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n", "nl"))
+def _k_finalize_inner(n, nl, rsel_lane, *arrs):
+    rsel = jnp.clip(rsel_lane[:n], 0, None)
+    outs = [ln[:n] for ln in arrs[:nl]]
+    for r in arrs[nl:]:
+        outs.append(r[jnp.clip(rsel, 0, r.shape[0] - 1)])
+    return tuple(outs)
+
+
+def finalize_inner(n_match, rsel_lane, lanes, right_cols):
+    """Materialize EVERY inner-join output lane in ONE executable —
+    the carried-lane slices plus the right-column gathers. Forcing the
+    columns one by one paid a ~30 ms relay dispatch per lane (~300 ms
+    of pure scheduling on the 10-column bench join); results land in
+    HBM with a single dispatch. Returns [col_thunk] aligned to
+    lanes + right_cols, all sharing one lazily-run executable."""
+    rarrs = [dev.dev_col(c) for c in right_cols]
+    cell: dict = {}
+
+    def run():
+        if "r" not in cell:
+            cell["r"] = _k_finalize_inner(
+                n_match, len(lanes), rsel_lane,
+                *(list(lanes) + rarrs))
+        return cell["r"]
+
+    return [lambda i=i: run()[i]
+            for i in range(len(lanes) + len(rarrs))]
+
+
 _mesh_eq_cache: dict = {}
 
 

@@ -12,7 +12,8 @@ import numpy as np
 
 from ..core import types as T
 from ..core import symbols
-from ..core.obj import (Obj, to_np, list_, table, NULL_OBJ, col_by_name)
+from ..core.obj import (Obj, DevPending, to_np, list_, table,
+                        NULL_OBJ, col_by_name)
 from ..core.errors import err_type, err_arity, err_length
 from .compose import gather
 from .group import _col_codes
@@ -213,20 +214,31 @@ def _try_device_join(keys, lt, rt, lk, rk, mode: str):
             carried = ej.inner_carry(rids, carry_cols)
             if carried is not None:
                 n_match, rsel_lane, lanes = carried
-                rsel = rsel_lane[:n_match]
-                it = iter(lanes)
-                out_cols = [ej.sliced_col(next(it), n_match, c)
-                            for c in lk]
+                # every output lane materializes through ONE batched
+                # executable (slices + right gathers) instead of one
+                # ~30 ms relay dispatch per column
+                right_cols = [c[1] if kind == "overlay" else c
+                              for _sid, kind, c in plan_cols
+                              if kind != "left"]
+                thunks = ej.finalize_inner(n_match, rsel_lane, lanes,
+                                           right_cols)
+                it = iter(thunks[:len(lanes)])
+                rit = iter(thunks[len(lanes):])
+
+                def _col(th, like):
+                    o = Obj(like.t,
+                            DevPending(thunk=th, shape=(n_match,)),
+                            domain=like.domain)
+                    o.meta = {}
+                    return o
+                out_cols = [_col(next(it), c) for c in lk]
                 for _sid, kind, c in plan_cols:
                     if kind == "left":
-                        out_cols.append(ej.sliced_col(next(it),
-                                                      n_match, c))
+                        out_cols.append(_col(next(it), c))
                     elif kind == "overlay":
-                        out_cols.append(ej.lazy_take_col(c[1], rsel,
-                                                         n_match))
+                        out_cols.append(_col(next(rit), c[1]))
                     else:
-                        out_cols.append(ej.lazy_take_col(c, rsel,
-                                                         n_match))
+                        out_cols.append(_col(next(rit), c))
                 return table(Obj(T.SYMBOL, np.asarray(
                     out_names, dtype=np.int64)), out_cols)
             lids, rsel, n_match = ej.compact_ids(rids)
