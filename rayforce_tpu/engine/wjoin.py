@@ -415,33 +415,18 @@ def _k_dev(sv, li, ri, ok, rtype):
 # i32 gathers are layout-clean.
 
 @jax.jit
-def _k_rank_nf(sv):
-    """Value ranks of a NULL-FREE column: shared by the min and the
-    max aggregate over the same column (the rank permutation is
-    direction-independent once there are no nulls to re-map)."""
-    n = sv.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    _k, order = jax.lax.sort([sv, iota], num_keys=1, is_stable=True)
-    _o, rank = jax.lax.sort([order, iota], num_keys=1, is_stable=True)
-    return rank
-
-
-@jax.jit
 def _k_rank_vals_nf(sv):
-    """(ranks, sorted values) of a null-free column in ONE executable:
-    the rank sort's key output IS the sorted-value table, so computing
-    them together saves a whole extra sort of the column (and a relay
-    dispatch) vs the old separate _k_sorted_vals_nf."""
+    """(ranks, sorted values) of a NULL-FREE column in ONE executable,
+    shared by the min and the max aggregate over the same column (the
+    rank permutation is direction-independent once there are no nulls
+    to re-map). The rank sort's key output IS the sorted-value table,
+    so computing them together saves a whole extra sort of the column
+    (and a relay dispatch)."""
     n = sv.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     vo, order = jax.lax.sort([sv, iota], num_keys=1, is_stable=True)
     _o, rank = jax.lax.sort([order, iota], num_keys=1, is_stable=True)
     return rank, vo
-
-
-@jax.jit
-def _k_sorted_vals_nf(sv):
-    return jax.lax.sort([sv], num_keys=1)[0]
 
 
 @partial(jax.jit, static_argnames=("rtype",))
