@@ -240,9 +240,16 @@ def _boundary_core(lcode, rcode, rt, lo, hi, pays, n_codes, tp, pack,
     riota = jnp.arange(nr, dtype=jnp.int32)
     if pack is not None:
         tmin, tbits = pack
+        # riota rides as a SECOND KEY, not a payload: rows tied on
+        # (code, time) must keep original order — the reference's
+        # right-table xasc is a stable LSD radix sort (core/sort.c),
+        # and first/last gather the boundary row of the tie run. An
+        # unstable 1-key sort returned an arbitrary tied row (caught
+        # by the seed-8 window-join fuzz: last over a column whose
+        # tied boundary row was null).
         sorted_r = jax.lax.sort(
             [(rcode << tbits) | (rt - tmin), riota] + list(pays),
-            num_keys=1, is_stable=False)
+            num_keys=2, is_stable=False)
         spk, sr = sorted_r[0], sorted_r[1]
         src = spk >> tbits
         srt = (spk & ((np.int64(1) << tbits) - 1)) + tmin

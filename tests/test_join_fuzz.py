@@ -108,7 +108,7 @@ def test_sort_fuzz(seed):
         assert s_dev == s_host, (seed, q)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(12))
 def test_window_join_fuzz(seed):
     """Randomized window-join/window-join1 parity: random windows
     (including empty and inverted ones), nulls in aggregated columns,
