@@ -351,13 +351,32 @@ def _k_count(li, ri, ok):
 
 @partial(jax.jit, static_argnames=("rtype", "last"))
 def _k_first_last(sv, li, ri, ok, rtype, last):
-    g = sv[ri if last else li]
+    """Window first/last SKIP NULLS to the nearest non-null row inside
+    [li, ri] (reference first-non-null-slot semantics, aggr.c:394-438;
+    oracle-pinned by the wjoin_nulls goldens). Nearest-non-null
+    position arrays come from one associative min/max scan over the
+    sorted right order."""
+    n = sv.shape[0]
+    nt = rtype if rtype != T.ENUM else T.SYMBOL
+    nn = _null_mask_t(sv, nt)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if last:
+        prv = jnp.where(nn, jnp.int32(-1), iota)
+        prv = jax.lax.associative_scan(jnp.maximum, prv)
+        pos = prv[ri]
+        okfl = ok & (pos >= li)
+    else:
+        nxt = jnp.where(nn, jnp.int32(n), iota)
+        nxt = jax.lax.associative_scan(jnp.minimum, nxt, reverse=True)
+        pos = nxt[li]
+        okfl = ok & (pos <= ri)
+    g = sv[jnp.clip(pos, 0, max(n - 1, 0))]
     if rtype == T.F64:
-        return jnp.where(ok, g, jnp.float64(np.nan))
-    nv = T.NULL_BY_TYPE.get(rtype if rtype != T.ENUM else T.SYMBOL)
+        return jnp.where(okfl, g, jnp.float64(np.nan))
+    nv = T.NULL_BY_TYPE.get(nt)
     if nv is None:
-        return jnp.where(ok, g, 0)
-    return jnp.where(ok, g, np.int64(nv).astype(g.dtype))
+        return jnp.where(okfl, g, 0)
+    return jnp.where(okfl, g, np.int64(nv).astype(g.dtype))
 
 
 @partial(jax.jit, static_argnames=("rtype", "want_avg"))
@@ -371,14 +390,16 @@ def _k_sum_avg(sv, li, ri, ok, rtype, want_avg):
     n_null = cn[ri + 1] - cn[li]
     if not want_avg:
         # window sum PROPAGATES nulls (ADD accumulators, aggr.c;
-        # oracle-pinned: any null in the window -> typed null)
+        # oracle-pinned: any null in the window -> typed null), and an
+        # EMPTY window sums to typed NULL, not 0 (reference Null
+        # macro; wjoin_nulls goldens)
         if rtype == T.F64:
             s = jnp.where(n_null > 0, jnp.float64(np.nan), s)
-            return jnp.where(ok, s, 0.0)
+            return jnp.where(ok, s, jnp.float64(np.nan))
         nv = np.int64(T.NULL_BY_TYPE.get(SUM_TYPE.get(rtype, T.I64),
                                          T.NULL_I64))
         si = jnp.where(n_null > 0, nv, s.astype(jnp.int64))
-        return jnp.where(ok, si, 0)
+        return jnp.where(ok, si, nv)
     c = (ri + 1 - li).astype(jnp.float64) - n_null
     a = jnp.where(c > 0, s / c, jnp.float64(np.nan))
     return jnp.where(ok & (c > 0), a, jnp.float64(np.nan))
@@ -532,9 +553,17 @@ def _k_minmax_rank(sv, li, ri, ok, rtype, op):
 
 
 @partial(jax.jit, static_argnames=("rtype", "op"))
-def _k_minmax_value(sv, red, ok, rtype, op):
+def _k_minmax_value(sv, red, li, ri, ok, rtype, op):
     """Resolve winning ranks to values (the one padded 64-bit gather,
-    isolated in its own executable so the transient fits)."""
+    isolated in its own executable so the transient fits).
+
+    Reference all-null-window semantics (oracle-probed with i32 TIME
+    columns; aggr.c AGGR_ITER INDEX_TYPE_WINDOW with min-init INF /
+    max-init NULL, ops.h:180-190): an EMPTY window is typed NULL for
+    both ops; a NON-EMPTY ALL-NULL window is typed INF for min and
+    typed NULL for max. For f64 max the -inf init is ambiguous against
+    real -inf data, so emptiness there comes from an exact per-window
+    non-null count."""
     n = sv.shape[0]
     is_min = op == "min"
     if rtype == T.F64:
@@ -549,11 +578,23 @@ def _k_minmax_value(sv, red, ok, rtype, op):
     safe = jnp.clip(red, 0, n - 1)
     out = vo[safe]
     if rtype == T.F64:
-        empty = jnp.isinf(out) & ((out > 0) == is_min)
-        return jnp.where(ok & ~empty, out, jnp.float64(np.nan))
-    empty = out == (G.KEY_MAX if is_min else G.I64_MIN)
+        if is_min:
+            # all-null windows surface naturally as +inf (min init)
+            return jnp.where(ok, out, jnp.float64(np.nan))
+        nn = _null_mask_t(sv, rtype)
+        cn = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                              jnp.cumsum((~nn).astype(jnp.int64))])
+        n_valid = cn[ri + 1] - cn[li]
+        return jnp.where(ok & (n_valid > 0), out,
+                         jnp.float64(np.nan))
     nv2 = np.int64(T.NULL_BY_TYPE.get(rtype, T.NULL_I64))
-    return jnp.where(ok & ~empty, out, nv2)
+    if is_min:
+        inf_t = np.int64(T.INF_BY_TYPE.get(rtype, T.INF_I64))
+        out = jnp.where(out == G.KEY_MAX, inf_t, out)
+        return jnp.where(ok, out, nv2)
+    # int max: the I64_MIN all-null sentinel cannot collide with real
+    # data (it IS the i64 null; narrower types never reach it)
+    return jnp.where(ok & (out != G.I64_MIN), out, nv2)
 
 
 @jax.jit
@@ -684,8 +725,8 @@ def _mesh_wjoin_kernel(mesh, n_codes, tp, cap_l, cap_r, cap_b,
                 lanes_out.append(_k_dev(sv, li, ri, ok, rtype))
             else:           # min / max via value ranks + range table
                 red = _k_minmax_rank(sv, li, ri, ok, rtype, op)
-                lanes_out.append(_k_minmax_value(sv, red, ok, rtype,
-                                                 op))
+                lanes_out.append(_k_minmax_value(sv, red, li, ri, ok,
+                                                 rtype, op))
 
         # ---- route results back to their left row's owner chip -------
         # dst = global row id // shard size; offset within the shard
@@ -971,7 +1012,8 @@ def window_join_device(lkeys, rkeys, lo_np, hi_np, aggs, tp):
             else:
                 def mm_thunk(v=sv, op=name, rt_=rtype):
                     red = _k_minmax_rank(v, li, ri, ok, rt_, op)
-                    return _k_minmax_value(v, red, ok, rt_, op)
+                    return _k_minmax_value(v, red, li, ri, ok, rt_,
+                                           op)
             out[out_sid] = _lazy(rtype, mm_thunk, nl)
     return out
 

@@ -230,13 +230,30 @@ def window_aggregate(name: str, col: Obj, w: WindowIndex) -> Obj:
         out = np.where(ok, ri - li + 1, 0).astype(np.int64)
         return Obj(T.I64, out)
     if name in ("first", "last"):
-        idx = np.where(ok, li if name == "first" else ri, 0)
+        # window first/last SKIP NULLS to the nearest non-null row
+        # inside [li, ri] (reference first-non-null-slot semantics,
+        # aggr.c:394-438 — oracle-pinned by wjoin_nulls goldens)
+        nt = t if t != T.ENUM else T.SYMBOL
+        nullsfl = is_null_np(nt, a)
+        n_r = len(a)
+        iota = np.arange(n_r, dtype=np.int64)
+        if name == "first":
+            nxt = np.where(nullsfl, n_r, iota)
+            nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+            pos = nxt[np.clip(li, 0, max(n_r - 1, 0))]
+            okfl = ok & (pos <= ri)
+        else:
+            prv = np.where(nullsfl, -1, iota)
+            prv = np.maximum.accumulate(prv)
+            pos = prv[np.clip(ri, 0, max(n_r - 1, 0))]
+            okfl = ok & (pos >= li)
+        idx = np.where(okfl, pos, 0)
         from .compose import gather
         g = gather(col, idx.astype(np.int64))
-        if (~ok).any():
+        if (~okfl).any():
             ga = to_np(g).copy()
-            nullv = T.NULL_BY_TYPE.get(t if t != T.ENUM else T.SYMBOL, 0)
-            ga[~ok] = nullv
+            nullv = T.NULL_BY_TYPE.get(nt, 0)
+            ga[~okfl] = nullv
             g = Obj(g.t, ga, domain=g.domain)
         return g
     nulls = is_null_np(t, a)
@@ -257,6 +274,10 @@ def window_aggregate(name: str, col: Obj, w: WindowIndex) -> Obj:
         out = np.where(ok & (n_null > 0),
                        np.float64(T.NULL_F64) if t == T.F64
                        else np.int64(nullv), out)
+        # an EMPTY window sums to typed NULL, not 0 (reference Null
+        # macro; oracle-pinned by wjoin_nulls goldens)
+        out = np.where(ok, out, np.float64(T.NULL_F64) if t == T.F64
+                       else np.int64(nullv))
         return Obj(rt, out.astype(T.DTYPE[rt]))
     if name == "avg":
         vals = np.where(nulls, 0.0, a.astype(np.float64))
@@ -276,7 +297,21 @@ def window_aggregate(name: str, col: Obj, w: WindowIndex) -> Obj:
             red, okm = _reduceat_ranges(
                 np.minimum if name == "min" else np.maximum, vals, li, ri,
                 init)
-            out = np.where(ok & okm, red, T.NULL_F64)
+            if name == "max":
+                # a NON-EMPTY ALL-NULL window is typed NULL for max
+                # (reference max init = NULL, null loses to any value,
+                # ops.h:180-190 — oracle-probed with i32 TIME); the
+                # -inf init is ambiguous against real -inf data, so
+                # emptiness comes from the exact non-null count. Min
+                # keeps its natural +inf (min init = INF).
+                cn = np.concatenate(
+                    [[0], np.cumsum((~nulls).astype(np.int64))])
+                n_valid = cn[np.clip(ri, -1, None) + 1] \
+                    - cn[np.clip(li, 0, None)]
+                out = np.where(ok & okm & (n_valid > 0), red,
+                               T.NULL_F64)
+            else:
+                out = np.where(ok & okm, red, T.NULL_F64)
             return Obj(T.F64, out)
         base = {T.DATE: T.I32, T.TIME: T.I32, T.TIMESTAMP: T.I64}.get(t, t)
         info = np.iinfo(T.DTYPE[base])

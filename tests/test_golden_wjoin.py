@@ -18,3 +18,10 @@ in tests/test_wjoin.py instead.
 from golden_util import golden_suite
 
 test_wjoin_meddev = golden_suite("wjoin_meddev.json")
+
+# all-null / null-boundary window semantics (min init INF, max init
+# NULL, first/last skip nulls), recorded from the reference with i32
+# TIME columns — its window search reads times as i32
+# (aggr.c AGGR_ITER INDEX_TYPE_WINDOW uses AS_I32 + indexr_bin_i32_),
+# so i64 probes are outside the oracle's defined domain
+test_wjoin_nulls = golden_suite("wjoin_nulls.json")
